@@ -1,0 +1,107 @@
+"""Benchmark: batched GMM decode throughput on the SieTill test corpus.
+
+Prints ONE JSON line:
+  {"metric": "decode_rtf_per_chip", "value": <rtf>, "unit": "rtf",
+   "vs_baseline": <0.21 / rtf>}
+
+Baseline: the reference C++ decoder at RTF 0.21 single-thread
+(presentation.13-07-2016/main.tex:265). vs_baseline is the speedup factor
+per chip. WER and throughput are reported on stderr for context.
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+REFERENCE = "/root/reference"
+BASELINE_RTF = 0.21
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    from speechrecognition_tpu.config import Configuration
+    from speechrecognition_tpu.corpus import Corpus, CorpusDescription
+    from speechrecognition_tpu.features.frontend import SignalAnalysisConfig
+    from speechrecognition_tpu.io import read_mixture_set
+    from speechrecognition_tpu.lexicon import build_sietill_lexicon
+    from speechrecognition_tpu.models.gmm import MixtureModel, VarianceModel
+    from speechrecognition_tpu.search.decoder import Recognizer
+    from speechrecognition_tpu.tdp import TdpModel
+
+    log(f"devices: {jax.devices()}")
+    lex = build_sietill_lexicon()
+
+    model_path = os.path.join(REPO, "bench", "model.mix")
+    test_corpus = os.path.join(REFERENCE, "src/sietill/corpora/corpus_test.json")
+    feature_path = os.path.join(REFERENCE, "data/new_features/")
+    norm_path = os.path.join(REFERENCE, "src/sietill/Normalization-eugen.bin")
+
+    if os.path.exists(model_path) and os.path.exists(test_corpus):
+        corpus_path, pooling = test_corpus, VarianceModel.NO_POOLING
+        meta_path = model_path + ".json"
+        if os.path.exists(meta_path):
+            with open(meta_path) as f:
+                meta = json.load(f)
+            pooling = VarianceModel.from_string(meta.get("pooling", "none"))
+        else:
+            meta = {}
+    else:  # fallback: demo fixtures (self-contained)
+        corpus_path = os.path.join(REFERENCE, "src/sietill/corpora/demo_corpus.json")
+        feature_path = os.path.join(REPO, "tests/fixtures/demo_features/")
+        norm_path = os.path.join(REPO, "tests/fixtures/normalization-demo.bin")
+        model_path = os.path.join(REPO, "tests/fixtures/iter-2.mix")
+        pooling = VarianceModel.MIXTURE_POOLING
+        meta = {"tdp": [3.0, 0.0, 30.0], "word_penalty": 80.0, "am_threshold": 200.0}
+
+    t0 = time.perf_counter()
+    desc = CorpusDescription.read(corpus_path, lex)
+    corpus = Corpus.read(desc, feature_path, SignalAnalysisConfig(),
+                         normalization_path=norm_path)
+    log(f"corpus: {corpus.num_segments} segments, "
+        f"{corpus.total_audio_seconds:.0f}s audio, "
+        f"loaded in {time.perf_counter() - t0:.1f}s")
+
+    raw = read_mixture_set(model_path, 25)
+    model = MixtureModel.from_raw(raw, pooling, max_approx=True)
+    tdp_vals = meta.get("tdp", [3.0, 0.0, 30.0])
+    tdp = TdpModel(silence_state=lex.silence_state, loop=tdp_vals[0],
+                   forward=tdp_vals[1], skip=tdp_vals[2])
+    config = Configuration({
+        "am-threshold": meta.get("am_threshold", 200.0),
+        "word-penalty": meta.get("word_penalty", 80.0),
+        "pruned-search": True,
+        "max-recognition-runs": 10 ** 9,
+    })
+    rec = Recognizer(config, lex, tdp, model.pack(dtype=jnp.float32),
+                     dtype=jnp.float32)
+
+    # warmup (compile all bucket shapes on a slice of the corpus)
+    rec.recognize_corpus(corpus, batch_size=512,
+                         max_segments=min(1024, corpus.num_segments))
+
+    res = rec.recognize_corpus(corpus, batch_size=512)
+    rtf = res["rtf"]
+    log(f"WER {res['wer']:.4f}%  SER {res['ser']:.4f}%  "
+        f"S/I/D {res['substitutions']}/{res['insertions']}/{res['deletions']}")
+    log(f"decode {res['time']:.2f}s for {res['audio_seconds']:.0f}s audio "
+        f"→ {res['audio_seconds']/res['time']:.0f} audio-s/s, RTF {rtf:.6f}")
+
+    print(json.dumps({
+        "metric": "decode_rtf_per_chip",
+        "value": rtf,
+        "unit": "rtf",
+        "vs_baseline": BASELINE_RTF / rtf,
+    }))
+
+
+if __name__ == "__main__":
+    main()

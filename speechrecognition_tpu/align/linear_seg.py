@@ -1,0 +1,101 @@
+"""Linear segmentation: initial speech/silence boundaries from frame energy.
+
+Replicates the reference's running-sum formulation with *float32* prefix
+sums (deliberately — the reference accumulates `cost_sum`/`square_cost_sum`
+as float, Training.cpp:366-367,437-452) and the 3-iteration coordinate-
+descent approximation that is the default path (Training.cpp:429-510).
+
+The segment score is the unnormalized energy variance
+    seg(a, b) = Σ²(a..b) − (Σ(a..b))²/(b−a+1)
+computed in float64 from the float32 prefix sums (Training.cpp:549-558).
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import numpy as np
+
+
+def _prefix_sums(energy: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
+    e32 = energy.astype(np.float32)
+    cost = np.add.accumulate(e32, dtype=np.float32)
+    sq = np.add.accumulate(e32 * e32, dtype=np.float32)
+    return cost, sq
+
+
+def _segment_scores(cost: np.ndarray, sq: np.ndarray,
+                    begin: np.ndarray, end: np.ndarray) -> np.ndarray:
+    """Vectorized seg(begin, end) for arrays of boundaries (begin ≥ 1)."""
+    tmp = (cost[end] - cost[begin - 1]).astype(np.float64)
+    score = (sq[end] - sq[begin - 1]).astype(np.float64)
+    return score - tmp * tmp / (end - begin + 1)
+
+
+def linear_segmentation_approximation(energy: np.ndarray) -> Tuple[int, int]:
+    """3-iteration coordinate descent on the two boundaries.
+
+    energy: f32 [N] (feature column 0). Returns (b1, b2) frame indices.
+    Candidate ranges, tie-breaking (strict <, smallest candidate wins) and
+    the 1e10 initialization match Training.cpp:455-503.
+    """
+    N = energy.shape[0]
+    cost, sq = _prefix_sums(energy)
+    b1 = N // 2 - 1
+    b2 = N // 2
+
+    for _ in range(3):
+        # boundary 1: candidates n in [1, b2-2]
+        if b2 - 1 > 1:
+            n = np.arange(1, b2 - 1)
+            costs = (_segment_scores(cost, sq, np.ones_like(n), n)
+                     + _segment_scores(cost, sq, n + 1, np.full_like(n, b2)))
+            if costs.min() < 1e10:
+                b1 = int(n[np.argmin(costs)])
+        # boundary 2: candidates n in [b1+1, N-2]
+        if N - 1 > b1 + 1:
+            n = np.arange(b1 + 1, N - 1)
+            costs = (_segment_scores(cost, sq, np.full_like(n, b1 + 1), n)
+                     + _segment_scores(cost, sq, n + 1, np.full_like(n, N - 1)))
+            if costs.min() < 1e10:
+                b2 = int(n[np.argmin(costs)])
+    return b1, b2
+
+
+def linear_segmentation_running_sums(energy: np.ndarray) -> Tuple[int, int]:
+    """Exact K=4 DP over boundary positions (Training.cpp:350-425)."""
+    N = energy.shape[0]
+    cost, sq = _prefix_sums(energy)
+    K = 4
+    costs_matrix = np.full((K, N), 1e10, dtype=np.float32)
+    backprop = np.zeros((K, N), dtype=np.int64)
+    costs_matrix[0, 0] = 0.0
+
+    n_idx = np.arange(N)
+    for k in range(1, K):
+        for n in range(1, N):
+            npr = n_idx[:n]
+            tmp = (cost[n] - cost[npr]).astype(np.float64)
+            local = (sq[n] - sq[npr]).astype(np.float64) - tmp * tmp / (n - npr)
+            cand = costs_matrix[k - 1, :n].astype(np.float64) + local
+            # strict-< update scanning n' ascending → first minimum wins
+            j = int(np.argmin(cand))
+            if cand[j] < costs_matrix[k, n]:
+                costs_matrix[k, n] = cand[j]
+                backprop[k, n] = j
+    b2 = int(backprop[K - 1, N - 1])
+    b1 = int(backprop[K - 2, b2])
+    return b1, b2
+
+
+def linear_alignment_mapping(automaton_states: np.ndarray, num_frames: int,
+                             b1: int, b2: int) -> np.ndarray:
+    """Frame → automaton state, linear between the boundaries
+    (Training.cpp:513-546; note the float32 slope cast)."""
+    A = automaton_states.shape[0]
+    spv = np.float64(np.float32(A) / np.float32(b2 - b1))
+    n = np.arange(num_frames)
+    idx = np.where(
+        n <= b1, 0,
+        np.where(n > b2, A - 1, (spv * (n - b1 - 1)).astype(np.int64)))
+    return automaton_states[idx].astype(np.int32)

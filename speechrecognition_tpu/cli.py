@@ -1,0 +1,136 @@
+"""Command-line driver mirroring the reference ``sietill`` binary.
+
+Usage: python -m speechrecognition_tpu.cli <config.json> [action]
+
+Actions (src/sietill/SieTill.cpp:54-243):
+  extract-features | train | recognize | train-nn | compute-prior
+"""
+
+from __future__ import annotations
+
+import sys
+
+import numpy as np
+
+from .config import Configuration, ParameterBool, ParameterFloat, ParameterInt, ParameterString
+from .corpus import Corpus, CorpusDescription
+from .features.frontend import (SignalAnalysisConfig, add_deltas,
+                                compute_normalization_stats, extract_features)
+from .io import (read_audio_file, read_mixture_set, write_feature_file,
+                 write_normalization)
+from .lexicon import build_sietill_lexicon
+from .models.gmm import MixtureModel, VarianceModel
+from .tdp import TdpModel
+
+
+def main(argv=None) -> int:
+    argv = argv if argv is not None else sys.argv[1:]
+    if len(argv) < 1:
+        print("Usage: python -m speechrecognition_tpu.cli <config-file> [action]",
+              file=sys.stderr)
+        return 1
+    config = Configuration(argv[0])
+    action = argv[1] if len(argv) >= 2 else ParameterString("action", "")(config)
+
+    feature_path = ParameterString("feature-path", "")(config)
+    normalization_path = ParameterString("normalization-path", "")(config)
+    max_approx = ParameterBool("max-approx", True)(config)
+
+    lexicon = build_sietill_lexicon()
+    description = CorpusDescription.from_config(config, lexicon)
+    sig_cfg = SignalAnalysisConfig.from_config(config)
+
+    if action == "extract-features":
+        audio_path = ParameterString("audio-path", "")(config)
+        audio_format = ParameterString("audio-format", "sph")(config)
+        all_rows = []
+        for i, seg in enumerate(description.segments):
+            print(f"Processing ({i + 1}): {seg.name}", file=sys.stderr)
+            audio = read_audio_file(f"{audio_path}{seg.name}.{audio_format}")
+            cepstra = extract_features(audio, sig_cfg)
+            write_feature_file(f"{feature_path}{seg.name}.mm2", cepstra)
+            all_rows.append(add_deltas(cepstra, sig_cfg))
+        if normalization_path:
+            mean, std = compute_normalization_stats(np.concatenate(all_rows, axis=0))
+            write_normalization(normalization_path, mean, std)
+        return 0
+
+    if action in ("train", "recognize"):
+        pooling = VarianceModel.from_string(ParameterString("pooling", "")(config))
+        corpus = Corpus.read(description, feature_path, sig_cfg,
+                             normalization_path=normalization_path or None)
+        tdp = TdpModel.from_config(config, lexicon.silence_state)
+
+        if action == "train":
+            from .train.em import Trainer, TrainerConfig
+            model = MixtureModel(dim=sig_cfg.n_features_total,
+                                 num_mixtures=lexicon.num_states,
+                                 var_model=pooling, max_approx=max_approx)
+            trainer = Trainer(TrainerConfig.from_config(config), lexicon, model,
+                              tdp, max_approx=max_approx,
+                              log=lambda *a: print(*a, file=sys.stderr))
+            trainer.train(corpus)
+            return 0
+
+        # recognize
+        scorer_kind = ParameterString("feature-scorer", "gmm")(config)
+        from .search.decoder import Recognizer
+        if scorer_kind == "gmm":
+            mix_path = ParameterString("load-mixtures-from", "")(config)
+            raw = read_mixture_set(mix_path, sig_cfg.n_features_total)
+            model = MixtureModel.from_raw(raw, pooling, max_approx=max_approx)
+            pack = model.pack()
+        elif scorer_kind == "nn":
+            from .models.nn import MLP, NNScorer, layer_specs_from_config
+            context = ParameterInt("context-frames", 0)(config)
+            mlp = MLP(layer_specs_from_config(config),
+                      input_dim=sig_cfg.n_features_total * (2 * context + 1))
+            params = mlp.load(ParameterString("model-path", "")(config))
+            prior = NNScorer.load_prior(
+                ParameterString("prior-file", "")(config), lexicon.num_states,
+                ParameterFloat("prior-scale", 0.0)(config))
+            scorer = NNScorer(mlp, params, prior, context)
+            pack = None
+        else:
+            print(f"unknown feature scorer: {scorer_kind}", file=sys.stderr)
+            return 1
+
+        recognizer = Recognizer(config, lexicon, tdp, pack)
+        if scorer_kind == "nn":
+            recognizer.nn_scorer = scorer  # type: ignore[attr-defined]
+        result = recognizer.recognize_corpus(corpus)
+        print(f"WER: {result['wer']:.6f}% (S/I/D) "
+              f"{result['substitutions']}/{result['insertions']}/{result['deletions']}",
+              file=sys.stderr)
+        print(f"SER: {result['ser']:.6f}%", file=sys.stderr)
+        print(f"Time: {result['time']} seconds", file=sys.stderr)
+        print(f"RTF: {result['rtf']}", file=sys.stderr)
+        return 0
+
+    if action in ("train-nn", "compute-prior"):
+        from .models.nn import MLP, layer_specs_from_config
+        from .train.nn_training import (MiniBatchBuilder, NnTrainer,
+                                        compute_prior_from_alignment)
+        batch_size = ParameterInt("batch-size", 32)(config)
+        corpus = Corpus.read(description, feature_path, sig_cfg,
+                             normalization_path=normalization_path or None)
+        builder = MiniBatchBuilder.from_config(
+            config, corpus, batch_size, lexicon.num_states, lexicon.silence_state)
+        if action == "train-nn":
+            mlp = MLP(layer_specs_from_config(config), input_dim=builder.feature_size)
+            NnTrainer(config, builder, mlp,
+                      log=lambda *a: print(*a, file=sys.stderr)).train()
+            return 0
+        # compute-prior
+        prior_file = ParameterString("prior-file", "")(config)
+        prior = compute_prior_from_alignment(builder.alignment, lexicon.num_states)
+        with open(prior_file, "w") as f:
+            f.write(" ".join(str(p) for p in prior) + " ")
+        return 0
+
+    print(f"Error: unknown action {action}", file=sys.stderr)
+    return 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())

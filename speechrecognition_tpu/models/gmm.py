@@ -1,0 +1,399 @@
+"""Diagonal-covariance GMM acoustic model with EM training.
+
+Design: the *bookkeeping* (density lists, split/eliminate, finalization)
+lives on the host in float64 and mirrors the reference exactly
+(src/sietill/Mixtures.cpp) — it touches at most a few thousand numbers.
+The *compute* (per-frame density scoring and sufficient statistics over
+millions of frames) runs on the TPU as one matmul:
+
+    score[t, (s,d)] = ½·Σᵢ(xᵢ−μᵢ)²/σᵢ² + norm − log w
+                    = [x², x, 1]ₜ · P[:, (s,d)]                (MXU)
+
+with P packing the quadratic expansion, densities padded to a per-model
+capacity D and inactive slots masked by a large constant. Sufficient
+statistics come back as dense [S, D(, dim)] arrays via segment-sums.
+
+Score semantics match Mixtures.cpp:590-744: score = norm + ½·Mahalanobis
+− log w; mixture score is the min over densities clipped at 1e10
+(max-approx, ::696-713) or −log Σ exp(−score) (sum, ::719-728).
+"""
+
+from __future__ import annotations
+
+import enum
+import math
+from dataclasses import dataclass
+from typing import List, Optional, Tuple
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from ..config import Configuration
+from ..io import RawMixtureSet
+
+MIN_SCORE_INIT = 1e10      # Mixtures.cpp:699
+INACTIVE_SCORE = 5e17      # sentinel for padded density slots (f32-safe, < inf)
+MIN_VARIANCE = 1e-4        # Mixtures.cpp:167 (var accumulator floor)
+MEMBERSHIP_EPS = 1e-8      # Mixtures.cpp:336
+
+
+class VarianceModel(enum.Enum):
+    GLOBAL_POOLING = "global"
+    MIXTURE_POOLING = "mixture"
+    NO_POOLING = "none"
+
+    @staticmethod
+    def from_string(s: str) -> "VarianceModel":
+        for v in VarianceModel:
+            if v.value == s:
+                return v
+        raise ValueError(f"invalid pooling option: {s}")
+
+
+@dataclass
+class ScorePack:
+    """Device-side packed scoring tables for one model snapshot."""
+
+    P: jnp.ndarray            # f32/f64 [2·dim+1, S·D] quadratic-expansion matrix
+    active: jnp.ndarray       # bool [S, D]
+    num_mixtures: int
+    density_cap: int
+    dim: int
+    max_approx: bool
+    dtype: jnp.dtype
+
+    def features_expanded(self, x: jnp.ndarray) -> jnp.ndarray:
+        """[N, dim] → [N, 2·dim+1] = [x², x, 1]."""
+        ones = jnp.ones((*x.shape[:-1], 1), dtype=x.dtype)
+        return jnp.concatenate([x * x, x, ones], axis=-1)
+
+
+class MixtureModel:
+    """Host-side GMM state (flat f64 arrays, reference-identical indices)."""
+
+    def __init__(self, dim: int, num_mixtures: int,
+                 var_model: VarianceModel = VarianceModel.MIXTURE_POOLING,
+                 max_approx: bool = True):
+        self.dim = dim
+        self.num_mixtures = num_mixtures
+        self.var_model = var_model
+        self.max_approx = max_approx
+
+        # flat per-mean / per-var arrays (grow on split, never shrink)
+        self.means = np.zeros((0, dim))
+        self.mean_acc = np.zeros((0, dim))
+        self.mean_weights = np.zeros(0)
+        self.mean_weights_log = np.zeros(0)
+        self.mean_weight_acc = np.zeros(0)
+        self.mean_refs = np.zeros(0, dtype=np.int64)
+
+        self.vars = np.zeros((0, dim))
+        self.vars_inv = np.zeros((0, dim))
+        self.var_acc = np.zeros((0, dim))
+        self.var_weight_acc = np.zeros(0)
+        self.var_refs = np.zeros(0, dtype=np.int64)
+        self.norm = np.zeros(0)
+
+        # mixtures_[m] = list of (mean_idx, var_idx)
+        self.mixtures: List[List[Tuple[int, int]]] = [[] for _ in range(num_mixtures)]
+
+        for m in range(num_mixtures):
+            if var_model != VarianceModel.GLOBAL_POOLING:
+                md = self._create_density(len(self.mean_refs), len(self.var_refs))
+            else:
+                md = self._create_density(len(self.mean_refs), 0)
+            self.mixtures[m].append(md)
+
+    # -- construction helpers ------------------------------------------------
+
+    def _append_mean_slot(self) -> None:
+        self.means = np.vstack([self.means, np.zeros((1, self.dim))])
+        self.mean_acc = np.vstack([self.mean_acc, np.zeros((1, self.dim))])
+        self.mean_weights = np.append(self.mean_weights, 0.0)
+        self.mean_weights_log = np.append(self.mean_weights_log, 0.0)
+        self.mean_weight_acc = np.append(self.mean_weight_acc, 0.0)
+        self.mean_refs = np.append(self.mean_refs, 1)
+
+    def _append_var_slot(self) -> None:
+        self.vars = np.vstack([self.vars, np.zeros((1, self.dim))])
+        self.vars_inv = np.vstack([self.vars_inv, np.zeros((1, self.dim))])
+        self.var_acc = np.vstack([self.var_acc, np.full((1, self.dim), MIN_VARIANCE)])
+        self.var_weight_acc = np.append(self.var_weight_acc, 0.0)
+        self.var_refs = np.append(self.var_refs, 1)
+        self.norm = np.append(self.norm, 0.0)
+
+    def _create_density(self, mean_idx: int, var_idx: int) -> Tuple[int, int]:
+        """Mirrors Mixtures.cpp:205-233 (reuses var slot when it exists)."""
+        self._append_mean_slot()
+        if var_idx >= len(self.var_refs):
+            self._append_var_slot()
+        return (mean_idx, var_idx)
+
+    # -- EM bookkeeping ------------------------------------------------------
+
+    def reset_accumulators(self) -> None:
+        self.mean_acc[:] = 0.0
+        self.mean_weight_acc[:] = 0.0
+        self.var_acc[:] = MIN_VARIANCE
+        self.var_weight_acc[:] = 0.0
+
+    def _calculate_variance(self, var_idx: int, mean_vec: np.ndarray) -> None:
+        """E[X²]−E[X]² + norm term (Mixtures.cpp:251-275)."""
+        v = self.var_acc[var_idx] / self.var_weight_acc[var_idx]
+        v = v - mean_vec * mean_vec
+        self.vars[var_idx] = v
+        self.vars_inv[var_idx] = 1.0 / v
+        self.norm[var_idx] = (self.dim * math.log(2 * math.pi)
+                              + np.log(v).sum()) / 2.0
+
+    def finalize(self) -> None:
+        """M-step (Mixtures.cpp:374-461)."""
+        total_observations = 0.0
+        for m in range(self.num_mixtures):
+            total_mix = 0.0
+            for (mean_idx, var_idx) in self.mixtures[m]:
+                total_mix += self.mean_weight_acc[mean_idx]
+                self.means[mean_idx] = self.mean_acc[mean_idx] / self.mean_weight_acc[mean_idx]
+                if self.var_model == VarianceModel.NO_POOLING:
+                    self._calculate_variance(var_idx, self.means[mean_idx])
+            for (mean_idx, _var_idx) in self.mixtures[m]:
+                self.mean_weights[mean_idx] = self.mean_weight_acc[mean_idx] / total_mix
+                self.mean_weights_log[mean_idx] = math.log(self.mean_weights[mean_idx])
+            if self.var_model == VarianceModel.MIXTURE_POOLING:
+                mixture_mean = np.zeros(self.dim)
+                for (mean_idx, _v) in self.mixtures[m]:
+                    mixture_mean += self.mean_acc[mean_idx]
+                mixture_mean /= total_mix
+                self._calculate_variance(self.mixtures[m][0][1], mixture_mean)
+            total_observations += total_mix
+
+        if self.var_model == VarianceModel.GLOBAL_POOLING:
+            global_mean = np.zeros(self.dim)
+            for m in range(self.num_mixtures):
+                for (mean_idx, _v) in self.mixtures[m]:
+                    global_mean += self.mean_acc[mean_idx]
+            global_mean /= total_observations
+            self._calculate_variance(0, global_mean)
+
+    def split(self, min_obs: float) -> None:
+        """Split densities with enough mass, μ ± √σ² (Mixtures.cpp:465-543).
+        Iterates densities in reverse, appends the new density at the end."""
+        for m in range(self.num_mixtures):
+            for di in range(len(self.mixtures[m]) - 1, -1, -1):
+                mean_idx, var_idx = self.mixtures[m][di]
+                if self.mean_weight_acc[mean_idx] >= min_obs:
+                    if self.var_model == VarianceModel.NO_POOLING:
+                        new_md = self._create_density(len(self.mean_refs), len(self.var_refs))
+                    else:
+                        new_md = self._create_density(len(self.mean_refs), var_idx)
+                    self._update_split_densities((mean_idx, var_idx), new_md)
+                    self.mixtures[m].append(new_md)
+
+    def _update_split_densities(self, orig: Tuple[int, int], new: Tuple[int, int]) -> None:
+        mo, vo = orig
+        mn, vn = new
+        self.mean_weights[mn] = self.mean_weights[mo]
+        self.mean_weights_log[mn] = self.mean_weights_log[mo]
+        self.mean_weight_acc[mn] = self.mean_weight_acc[mo]
+        shift = np.sqrt(self.vars[vo])
+        mean_plus = self.means[mo] + shift
+        mean_minus = self.means[mo] - shift
+        self.means[mo] = mean_plus
+        self.means[mn] = mean_minus
+        if self.var_model == VarianceModel.NO_POOLING:
+            self.var_weight_acc[vn] = self.var_weight_acc[vo]
+            self.var_acc[vn] = self.var_acc[vo]
+            self.vars[vn] = self.vars[vo]
+            self.vars_inv[vn] = self.vars_inv[vo]
+            self.norm[vn] = self.norm[vo]
+
+    def eliminate(self, min_obs: float) -> None:
+        """Drop underpopulated densities (Mixtures.cpp:547-576)."""
+        for m in range(self.num_mixtures):
+            for di in range(len(self.mixtures[m]) - 1, -1, -1):
+                mean_idx, var_idx = self.mixtures[m][di]
+                if self.mean_weight_acc[mean_idx] < min_obs:
+                    del self.mixtures[m][di]
+                    self.mean_refs[mean_idx] = 0
+                    if self.var_model == VarianceModel.NO_POOLING:
+                        self.var_refs[var_idx] = 0
+
+    def num_densities(self) -> int:
+        return int(len(self.mean_refs) - np.count_nonzero(self.mean_refs == 0))
+
+    @property
+    def max_densities_per_mixture(self) -> int:
+        return max(len(m) for m in self.mixtures)
+
+    # -- serialization (reference .mix format) -------------------------------
+
+    def to_raw(self) -> RawMixtureSet:
+        """Compacted accumulator state, as Mixtures.cpp::write()."""
+        mean_map = -np.ones(len(self.mean_refs), dtype=np.int64)
+        mean_map[self.mean_refs > 0] = np.arange(int((self.mean_refs > 0).sum()))
+        var_map = -np.ones(len(self.var_refs), dtype=np.int64)
+        var_map[self.var_refs > 0] = np.arange(int((self.var_refs > 0).sum()))
+
+        density_list = []
+        mixtures_out: List[np.ndarray] = []
+        for m in range(self.num_mixtures):
+            ids = []
+            for (mean_idx, var_idx) in self.mixtures[m]:
+                ids.append(len(density_list))
+                density_list.append((mean_map[mean_idx], var_map[var_idx]))
+            mixtures_out.append(np.asarray(ids, dtype=np.int64))
+
+        keep_m = self.mean_refs > 0
+        keep_v = self.var_refs > 0
+        return RawMixtureSet(
+            dim=self.dim,
+            mean_acc=self.mean_acc[keep_m].copy(),
+            mean_weight=self.mean_weight_acc[keep_m].copy(),
+            var_acc=self.var_acc[keep_v].copy(),
+            var_weight=self.var_weight_acc[keep_v].copy(),
+            densities=np.asarray(density_list, dtype=np.int64).reshape(-1, 2),
+            mixtures=mixtures_out,
+        )
+
+    @staticmethod
+    def from_raw(raw: RawMixtureSet, var_model: VarianceModel,
+                 max_approx: bool) -> "MixtureModel":
+        """Load + re-finalize, as Mixtures.cpp::read() (::748-830)."""
+        model = MixtureModel.__new__(MixtureModel)
+        model.dim = raw.dim
+        model.num_mixtures = len(raw.mixtures)
+        model.var_model = var_model
+        model.max_approx = max_approx
+
+        n_means = raw.mean_acc.shape[0]
+        n_vars = raw.var_acc.shape[0]
+        model.mean_acc = raw.mean_acc.copy()
+        model.mean_weight_acc = raw.mean_weight.copy()
+        model.means = np.zeros_like(model.mean_acc)
+        model.mean_weights = np.zeros(n_means)
+        model.mean_weights_log = np.zeros(n_means)
+        model.mean_refs = np.zeros(n_means, dtype=np.int64)
+
+        model.var_acc = raw.var_acc.copy()
+        model.var_weight_acc = raw.var_weight.copy()
+        model.vars = np.zeros_like(model.var_acc)
+        model.vars_inv = np.zeros_like(model.var_acc)
+        model.var_refs = np.zeros(n_vars, dtype=np.int64)
+        model.norm = np.zeros(n_vars)
+
+        model.mixtures = []
+        for ids in raw.mixtures:
+            lst = []
+            for d in ids:
+                mean_idx, var_idx = int(raw.densities[d, 0]), int(raw.densities[d, 1])
+                model.mean_refs[mean_idx] += 1
+                model.var_refs[var_idx] += 1
+                lst.append((mean_idx, var_idx))
+            model.mixtures.append(lst)
+        model.finalize()
+        return model
+
+    # -- device packing ------------------------------------------------------
+
+    def pack(self, dtype=jnp.float32, density_cap: Optional[int] = None) -> ScorePack:
+        S = self.num_mixtures
+        D = density_cap or self.max_densities_per_mixture
+        dim = self.dim
+        A = np.zeros((S, D, dim))
+        B = np.zeros((S, D, dim))
+        C = np.full((S, D), float(INACTIVE_SCORE))
+        active = np.zeros((S, D), dtype=bool)
+        for s in range(S):
+            for d, (mean_idx, var_idx) in enumerate(self.mixtures[s]):
+                iv = self.vars_inv[var_idx]
+                mu = self.means[mean_idx]
+                A[s, d] = 0.5 * iv
+                B[s, d] = -mu * iv
+                C[s, d] = (0.5 * np.sum(mu * mu * iv) + self.norm[var_idx]
+                           - self.mean_weights_log[mean_idx])
+                active[s, d] = True
+        P = np.concatenate([A.reshape(S * D, dim).T,
+                            B.reshape(S * D, dim).T,
+                            C.reshape(1, S * D)], axis=0)
+        return ScorePack(P=jnp.asarray(P, dtype=dtype),
+                         active=jnp.asarray(active),
+                         num_mixtures=S, density_cap=D, dim=dim,
+                         max_approx=self.max_approx, dtype=dtype)
+
+    # -- host application of device statistics -------------------------------
+
+    def apply_statistics(self, w: np.ndarray, xs: np.ndarray, x2s: np.ndarray) -> None:
+        """Fold dense per-(mixture, density-slot) stats into the flat
+        reference-indexed accumulators (handles shared var slots)."""
+        self.reset_accumulators()
+        for s in range(self.num_mixtures):
+            for d, (mean_idx, var_idx) in enumerate(self.mixtures[s]):
+                self.mean_weight_acc[mean_idx] += w[s, d]
+                self.var_weight_acc[var_idx] += w[s, d]
+                self.mean_acc[mean_idx] += xs[s, d]
+                self.var_acc[var_idx] += x2s[s, d]
+
+
+# -- device-side scoring and statistics --------------------------------------
+
+
+def density_scores(pack: ScorePack, feats: jnp.ndarray) -> jnp.ndarray:
+    """[N, dim] → [N, S, D] per-density scores (−log p, padded slots huge)."""
+    X = pack.features_expanded(feats.astype(pack.dtype))
+    scores = X @ pack.P  # [N, S·D] on the MXU
+    return scores.reshape(X.shape[0], pack.num_mixtures, pack.density_cap)
+
+
+def mixture_scores_from_density(pack: ScorePack, scores_sd: jnp.ndarray) -> jnp.ndarray:
+    """[.., S, D] → [.., S] mixture-level scores (min-clip or −logΣexp)."""
+    if pack.max_approx:
+        return jnp.minimum(scores_sd.min(axis=-1), MIN_SCORE_INIT)
+    neg = jnp.where(pack.active, -scores_sd, -jnp.inf)
+    return -jax.scipy.special.logsumexp(neg, axis=-1)
+
+
+def am_scores(pack: ScorePack, feats: jnp.ndarray) -> jnp.ndarray:
+    """[N, dim] → [N, S] state-level acoustic scores."""
+    return mixture_scores_from_density(pack, density_scores(pack, feats))
+
+
+def accumulate_chunk(pack: ScorePack, feats: jnp.ndarray, states: jnp.ndarray,
+                     frame_mask: jnp.ndarray, first_pass: bool,
+                     ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Sufficient statistics for one chunk of aligned frames.
+
+    feats [N, dim], states int32 [N] (aligned mixture per frame), frame_mask
+    [N] (0 for padding). Returns (w [S,D], xs [S,D,dim], x2s [S,D,dim]) in
+    float64. Membership: one-hot argmin for max-approx (Mixtures.cpp:296-305),
+    normalized exp(−score) with the 1e-8 cutoff for sum (::307-336).
+    """
+    S, D = pack.num_mixtures, pack.density_cap
+    N = feats.shape[0]
+    if first_pass:
+        gamma = jnp.zeros((N, D), pack.dtype).at[:, 0].set(1.0)
+    else:
+        sc = density_scores(pack, feats)                       # [N, S, D]
+        sc_aligned = jnp.take_along_axis(
+            sc, states[:, None, None].astype(jnp.int32), axis=1)[:, 0]  # [N, D]
+        if pack.max_approx:
+            best = jnp.argmin(sc_aligned, axis=-1)
+            gamma = jax.nn.one_hot(best, D, dtype=pack.dtype)
+        else:
+            shifted = sc_aligned - sc_aligned.min(axis=-1, keepdims=True)
+            p = jnp.exp(-shifted)
+            p = p / p.sum(axis=-1, keepdims=True)
+            gamma = jnp.where(p < MEMBERSHIP_EPS, 0.0, p)
+    gamma = gamma * frame_mask[:, None].astype(pack.dtype)
+
+    ids = states.astype(jnp.int32)
+    # per-(s,d) sums via segment-sum over mixture ids, one segment per slot
+    gamma64 = gamma.astype(jnp.float64)
+    f64 = feats.astype(jnp.float64)
+    w = jax.ops.segment_sum(gamma64, ids, num_segments=S)                 # [S, D]
+    xs = jax.ops.segment_sum(gamma64[:, :, None] * f64[:, None, :], ids,
+                             num_segments=S)                              # [S, D, dim]
+    x2s = jax.ops.segment_sum(gamma64[:, :, None] * (f64 * f64)[:, None, :], ids,
+                              num_segments=S)
+    return w, xs, x2s

@@ -1,0 +1,282 @@
+"""Time-synchronous word-loop Viterbi decoder as a batched dense scan.
+
+The reference decoder (src/sietill/Recognizer.cpp:103-232) walks per-frame
+hypothesis arrays indexed (word, in-word position) with threshold pruning,
+word-entry expansion from the best word-end of the previous frame, and a
+per-frame traceback of the best ending word. Because pruning is
+threshold-only, a *dense masked lattice* reproduces it exactly:
+
+    hyp[b, w, s]  — best path score ending at frame t in position s of word w
+    book[t, b]    — best word-END at frame t (score, word, start frame)
+
+Per frame (one `lax.scan` step over the whole batch):
+  * within-word 0-1-2 recursion, excluding predecessors parked on a word's
+    last position (those only expand across word boundaries,
+    Recognizer.cpp:131-188);
+  * word entry into positions {0, 1} from book[t−1] + word penalty
+    (silence enters free) + entry TDP + the *first state's* acoustic score
+    (Recognizer.cpp:133-157);
+  * threshold pruning against the per-frame best (Recognizer.cpp:191-198);
+  * traceback update from slots at their word's last position
+    (Recognizer.cpp:200-208).
+
+Tie-breaking replicates the reference's iteration order: larger jumps win
+within-word ties (first-writer, ascending predecessor scan), word ends
+resolve to the smallest word index, and entries win ties against
+within-word hypotheses (the silence boundary hypothesis is scanned first).
+
+The unpruned variant (Recognizer.cpp:234-328) differs in two ways — no
+pruning, and a word's last position may loop within the word — exposed via
+``prune``/``exclude_last_pred``.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+from typing import List, Optional, Tuple
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from ..config import Configuration, ParameterBool, ParameterFloat, ParameterInt
+from ..lexicon import Lexicon
+from ..tdp import TdpModel
+from ..models import gmm as gmm_mod
+
+BIG = np.float64(1e30)
+
+
+@dataclass
+class DecoderTables:
+    """Static lexicon/TDP tables for the dense (word, position) lattice."""
+
+    state_table: np.ndarray   # int32 [W, P] global state per slot
+    word_len: np.ndarray      # int32 [W]
+    last_pos: np.ndarray      # int32 [W]
+    first_state: np.ndarray   # int32 [W]
+    tdp_within: np.ndarray    # f64 [W, P, 3] penalty into slot s via jump j (BIG=invalid)
+    entry_pen: np.ndarray     # f64 [W, 2] word-penalty + entry TDP (BIG=invalid)
+    num_words: int
+    max_pos: int
+
+    @staticmethod
+    def build(lexicon: Lexicon, tdp: TdpModel, word_penalty: float,
+              exclude_last_pred: bool = True) -> "DecoderTables":
+        W, P = lexicon.num_words, lexicon.max_positions
+        state_table = lexicon.state_table()
+        word_len = lexicon.word_lengths()
+        last_pos = word_len - 1
+        first_state = state_table[:, 0].copy()
+
+        tdp_target = tdp.table_for_states(state_table)  # [W, P, 3]
+        tdp_within = np.full((W, P, 3), float(BIG))
+        s = np.arange(P)[None, :]
+        for j in range(3):
+            p = s - j
+            valid = (p >= 0) & (s < word_len[:, None])
+            if exclude_last_pred:
+                valid &= (p != last_pos[:, None])
+            tdp_within[:, :, j] = np.where(valid, tdp_target[:, :, j], float(BIG))
+
+        entry_pen = np.full((W, 2), float(BIG))
+        for w in range(W):
+            wp = 0.0 if w == lexicon.silence_idx else word_penalty
+            for init_state in range(2):
+                if init_state < word_len[w]:
+                    entry_pen[w, init_state] = wp + tdp.score(int(first_state[w]),
+                                                              init_state + 1)
+        return DecoderTables(state_table=state_table, word_len=word_len,
+                             last_pos=last_pos, first_state=first_state,
+                             tdp_within=tdp_within, entry_pen=entry_pen,
+                             num_words=W, max_pos=P)
+
+
+@partial(jax.jit, static_argnames=("prune",))
+def _decode_scan(am: jnp.ndarray, feat_len: jnp.ndarray,
+                 state_table: jnp.ndarray, last_pos: jnp.ndarray,
+                 word_len: jnp.ndarray, first_state: jnp.ndarray,
+                 tdp_within: jnp.ndarray, entry_pen: jnp.ndarray,
+                 am_threshold: jnp.ndarray, prune: bool = True,
+                 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """am: f [B, T, S]. Returns book (score [T,B], word [T,B], bkp [T,B])
+    covering frames 1..T (index t-1 ↔ frame t)."""
+    B, T, S = am.shape
+    dtype = am.dtype
+    W, P = state_table.shape
+    big = jnp.asarray(BIG, dtype)
+
+    tdpw = tdp_within.astype(dtype)        # [W, P, 3]
+    entp = entry_pen.astype(dtype)         # [W, 2]
+    slot_valid = jnp.arange(P)[None, :] < word_len[:, None]  # [W, P]
+
+    hyp0 = jnp.full((B, W, P), big, dtype)
+    bkp0 = jnp.zeros((B, W, P), jnp.int32)
+    book0 = jnp.zeros((B,), dtype)
+
+    inf_col = jnp.full((B, W, 1), big, dtype)
+
+    def step(carry, inputs):
+        hyp, bkp, book_prev = carry
+        am_t, t = inputs  # am_t: [B, S], t: 1-based frame index
+
+        ams = am_t[:, state_table]                       # [B, W, P]
+        # within-word 0-1-2 recursion (shift along position axis)
+        c0 = hyp + tdpw[None, :, :, 0]
+        c1 = jnp.concatenate([inf_col, hyp[:, :, :-1] + tdpw[None, :, 1:, 1]], axis=2)
+        c2 = jnp.concatenate([inf_col, inf_col,
+                              hyp[:, :, :-2] + tdpw[None, :, 2:, 2]], axis=2)
+        b0 = jnp.concatenate([bkp0[:, :, :1], bkp[:, :, :-1]], axis=2)
+        b00 = jnp.concatenate([bkp0[:, :, :2], bkp[:, :, :-2]], axis=2)
+        # larger jumps win ties (first writer in ascending predecessor scan)
+        within, wbkp = c2, b00
+        for c, b in ((c1, b0), (c0, bkp)):
+            take = c < within
+            within = jnp.where(take, c, within)
+            wbkp = jnp.where(take, b, wbkp)
+        within = within + ams
+
+        # word entry into positions {0, 1}; acoustic score of the first state
+        am_first = am_t[:, first_state]                  # [B, W]
+        entry = (book_prev[:, None, None] + entp[None, :, :]
+                 + am_first[:, :, None])                 # [B, W, 2]
+        entry = jnp.concatenate(
+            [entry, jnp.full((B, W, P - 2), big, dtype)], axis=2)
+
+        take_entry = entry <= within                     # entries win ties
+        new = jnp.where(take_entry, entry, within)
+        new_bkp = jnp.where(take_entry, (t - 1).astype(jnp.int32), wbkp)
+        new = jnp.where(slot_valid[None, :, :], new, big)
+        new = jnp.minimum(new, big)
+
+        if prune:
+            best = new.min(axis=(1, 2), keepdims=True)
+            new = jnp.where(new > best + am_threshold, big, new)
+
+        # traceback: best word-end (smallest word index on ties via argmin)
+        end_scores = jnp.take_along_axis(
+            new, last_pos[None, :, None].astype(jnp.int32), axis=2)[:, :, 0]  # [B, W]
+        end_bkp = jnp.take_along_axis(
+            new_bkp, last_pos[None, :, None].astype(jnp.int32), axis=2)[:, :, 0]
+        book_word = jnp.argmin(end_scores, axis=1).astype(jnp.int32)
+        book_score = jnp.take_along_axis(end_scores, book_word[:, None], axis=1)[:, 0]
+        book_bkp = jnp.take_along_axis(end_bkp, book_word[:, None], axis=1)[:, 0]
+        book_score = jnp.where(book_score >= big * 0.5, big, book_score)
+
+        # freeze utterances that already ended
+        alive = (t <= feat_len)[:, None, None]
+        hyp_out = jnp.where(alive, new, hyp)
+        bkp_out = jnp.where(alive, new_bkp, bkp)
+        book_out = jnp.where(alive[:, 0, 0], book_score, book_prev)
+        return (hyp_out, bkp_out, book_out), (book_score, book_word, book_bkp)
+
+    (_, _, _), (scores, words, bkps) = jax.lax.scan(
+        step, (hyp0, bkp0, book0),
+        (jnp.moveaxis(am, 1, 0), jnp.arange(1, T + 1)))
+    return scores, words, bkps
+
+
+def decode_batch(pack: gmm_mod.ScorePack, feats: np.ndarray, feat_len: np.ndarray,
+                 tables: DecoderTables, am_threshold: float, silence_idx: int,
+                 prune: bool = True, dtype=jnp.float32,
+                 am: Optional[jnp.ndarray] = None,
+                 ) -> List[List[int]]:
+    """Decode a padded batch → word sequences (silence removed).
+
+    feats f32 [B, T, dim]; feat_len int [B]. `am` may be passed to reuse
+    precomputed [B, T, S] acoustic scores.
+    """
+    B, T, _ = feats.shape
+    if am is None:
+        flat = jnp.asarray(feats.reshape(B * T, feats.shape[2]))
+        am = gmm_mod.am_scores(pack, flat).reshape(B, T, pack.num_mixtures)
+    am = am.astype(dtype)
+    scores, words, bkps = _decode_scan(
+        am, jnp.asarray(feat_len, jnp.int32),
+        jnp.asarray(tables.state_table), jnp.asarray(tables.last_pos),
+        jnp.asarray(tables.word_len), jnp.asarray(tables.first_state),
+        jnp.asarray(tables.tdp_within), jnp.asarray(tables.entry_pen),
+        jnp.asarray(am_threshold, dtype), prune=prune)
+    words_np = np.asarray(words)   # [T, B]
+    bkps_np = np.asarray(bkps)     # [T, B]
+
+    out: List[List[int]] = []
+    for b in range(B):
+        t = int(feat_len[b])
+        seq: List[int] = []
+        while t > 0:
+            w = int(words_np[t - 1, b])
+            if w != silence_idx:
+                seq.append(w)
+            t = int(bkps_np[t - 1, b])
+        seq.reverse()
+        out.append(seq)
+    return out
+
+
+class Recognizer:
+    """Corpus-level recognition driver with WER/SER/RTF reporting
+    (reference: Recognizer.cpp:38-92)."""
+
+    def __init__(self, config: Configuration, lexicon: Lexicon,
+                 tdp: TdpModel, pack: gmm_mod.ScorePack,
+                 dtype=jnp.float32):
+        self.lexicon = lexicon
+        self.pack = pack
+        self.dtype = dtype
+        self.am_threshold = ParameterFloat("am-threshold", 20.0)(config)
+        self.word_penalty = ParameterFloat("word-penalty", 10.0)(config)
+        self.pruned_search = ParameterBool("pruned-search", True)(config)
+        self.max_runs = ParameterInt("max-recognition-runs", 1000)(config)
+        self.tables = DecoderTables.build(
+            lexicon, tdp, self.word_penalty,
+            exclude_last_pred=self.pruned_search)
+
+    def recognize_corpus(self, corpus, batch_size: int = 128,
+                         max_segments: Optional[int] = None) -> dict:
+        from .edit_distance import EDAccumulator, edit_distance
+        import time
+
+        n = min(corpus.num_segments, max_segments or self.max_runs)
+        acc = EDAccumulator()
+        ref_total = 0
+        sentence_errors = 0
+        hyps: dict = {}
+        t0 = time.perf_counter()
+        order = np.argsort(corpus.lengths[:n], kind="stable")
+        for i in range(0, n, batch_size):
+            ids = order[i: i + batch_size].tolist()
+            n_real = len(ids)
+            while len(ids) < batch_size:     # keep shapes static across batches
+                ids.append(ids[-1])
+            max_len = max(corpus.seq_length(s) for s in ids)
+            T = -(-max_len // 32) * 32
+            feats, lens = corpus.padded_batch(ids, pad_to=T)
+            results = decode_batch(self.pack, feats, lens, self.tables,
+                                   self.am_threshold, self.lexicon.silence_idx,
+                                   prune=self.pruned_search, dtype=self.dtype)
+            for b, s in enumerate(ids[:n_real]):
+                hyps[s] = results[b]
+        elapsed = time.perf_counter() - t0
+
+        for s in range(n):
+            ed = edit_distance(corpus.orths[s], hyps[s])
+            acc += ed
+            ref_total += len(corpus.orths[s])
+            if ed.total_count > 0:
+                sentence_errors += 1
+
+        audio_seconds = float(corpus.lengths[:n].sum()) * corpus.frame_duration
+        return {
+            "wer": 100.0 * acc.total_count / ref_total,
+            "ser": 100.0 * sentence_errors / n,
+            "substitutions": acc.substitute_count,
+            "insertions": acc.insert_count,
+            "deletions": acc.delete_count,
+            "time": elapsed,
+            "rtf": elapsed / audio_seconds,
+            "audio_seconds": audio_seconds,
+            "hyps": hyps,
+        }

@@ -1,0 +1,217 @@
+"""EM training driver: linear segmentation → EM with splitting → realignment.
+
+Orchestration mirrors the reference outer loop (src/sietill/Training.cpp:44-235):
+
+    linear segmentation → accumulate(first_pass) → finalize → write lin.mix
+    for i in 0..num_splits:
+        if i>0: split(2·min_obs) → acc → finalize → eliminate(min_obs) → acc → finalize
+        for j in 0..num_aligns:  realign (pruned Viterbi)
+            for k in 0..num_estimates (1 when i==0): acc → finalize
+    write <i>.mix each round; AM score after every estimation
+
+The per-frame work (scoring, membership, sufficient statistics) runs on
+device in chunks (models/gmm.py); alignment runs as the batched Viterbi
+scan (align/viterbi.py); bookkeeping stays on the host in float64.
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass
+from typing import List, Optional
+
+import numpy as np
+
+import jax.numpy as jnp
+
+from ..config import Configuration, ParameterBool, ParameterFloat, ParameterInt, ParameterString
+from ..corpus import Corpus
+from ..io import write_alignment, write_mixture_set
+from ..lexicon import Lexicon, build_segment_automaton
+from ..models.gmm import MixtureModel, ScorePack, accumulate_chunk, am_scores
+from ..tdp import TdpModel
+from ..align.linear_seg import linear_segmentation_approximation, linear_segmentation_running_sums, linear_alignment_mapping
+from ..align.viterbi import AlignerTables, align_batch
+
+
+@dataclass
+class TrainerConfig:
+    min_obs: int = 1
+    num_splits: int = 1
+    num_aligns: int = 1
+    num_estimates: int = 1
+    pruning_threshold: float = 50.0
+    mixture_path: str = ""
+    alignment_path: str = ""
+    training_stats_path: str = ""
+    realign: bool = True
+    alignment_pruning: bool = True
+    approx_linear_segmentation: bool = True
+    batch_size: int = 256
+    chunk_frames: int = 1 << 16
+
+    @staticmethod
+    def from_config(config: Configuration) -> "TrainerConfig":
+        return TrainerConfig(
+            min_obs=ParameterInt("min-obs", 1)(config),
+            num_splits=ParameterInt("num-splits", 1)(config),
+            num_aligns=ParameterInt("num-aligns", 1)(config),
+            num_estimates=ParameterInt("num-estimates", 1)(config),
+            pruning_threshold=ParameterFloat("pruning-threshold", 50.0)(config),
+            mixture_path=ParameterString("mixture-path", "")(config),
+            alignment_path=ParameterString("alignment-path", "")(config),
+            training_stats_path=ParameterString("training-stats-path", "")(config),
+            realign=ParameterBool("realign", True)(config),
+            alignment_pruning=ParameterBool("alignment-pruning", True)(config),
+            approx_linear_segmentation=ParameterBool("approx-linear-segmentation", True)(config),
+        )
+
+
+class Trainer:
+    def __init__(self, cfg: TrainerConfig, lexicon: Lexicon, model: MixtureModel,
+                 tdp: TdpModel, max_approx: bool = True, dtype=jnp.float32,
+                 log=print):
+        self.cfg = cfg
+        self.lexicon = lexicon
+        self.model = model
+        self.tdp = tdp
+        self.max_approx = max_approx
+        self.dtype = dtype
+        self.log = log
+        self.stats_lines: List[str] = []
+
+    # -- device helpers ------------------------------------------------------
+
+    def _accumulate(self, corpus: Corpus, alignment: np.ndarray,
+                    first_pass: bool) -> None:
+        """One E-step over the whole corpus: chunked device statistics."""
+        pack = self.model.pack(dtype=self.dtype)
+        S, D = pack.num_mixtures, pack.density_cap
+        w = np.zeros((S, D))
+        xs = np.zeros((S, D, self.model.dim))
+        x2s = np.zeros((S, D, self.model.dim))
+        N = corpus.total_frames
+        C = self.cfg.chunk_frames
+        for start in range(0, N, C):
+            end = min(start + C, N)
+            feats = np.zeros((C, self.model.dim), np.float32)
+            feats[: end - start] = corpus.features[start:end]
+            states = np.zeros(C, np.int32)
+            states[: end - start] = alignment[start:end]
+            mask = np.zeros(C, np.float32)
+            mask[: end - start] = 1.0
+            cw, cxs, cx2s = accumulate_chunk(
+                pack, jnp.asarray(feats), jnp.asarray(states),
+                jnp.asarray(mask), first_pass)
+            w += np.asarray(cw)
+            xs += np.asarray(cxs)
+            x2s += np.asarray(cx2s)
+        self.model.apply_statistics(w, xs, x2s)
+
+    def calc_am_score(self, corpus: Corpus, alignment: np.ndarray) -> float:
+        """Average per-frame score under the current alignment
+        (reference: Training.cpp:585-612)."""
+        pack = self.model.pack(dtype=self.dtype)
+        total = 0.0
+        N = corpus.total_frames
+        C = self.cfg.chunk_frames
+        for start in range(0, N, C):
+            end = min(start + C, N)
+            feats = jnp.asarray(corpus.features[start:end])
+            sc = am_scores(pack, feats)  # [n, S]
+            states = jnp.asarray(alignment[start:end].astype(np.int32))
+            frame_scores = jnp.take_along_axis(sc, states[:, None], axis=1)[:, 0]
+            total += float(frame_scores.astype(jnp.float64).sum())
+        return total / N
+
+    def _realign(self, corpus: Corpus, tables_all: AlignerTables,
+                 alignment: np.ndarray) -> None:
+        pack = self.model.pack(dtype=self.dtype)
+        thr = self.cfg.pruning_threshold if self.cfg.alignment_pruning else None
+        order = np.argsort(corpus.lengths, kind="stable")
+        Bsz = self.cfg.batch_size
+        for i in range(0, corpus.num_segments, Bsz):
+            ids = order[i: i + Bsz].tolist()
+            n_real = len(ids)
+            while len(ids) < Bsz:            # keep shapes static across batches
+                ids.append(ids[-1])
+            max_len = max(corpus.seq_length(s) for s in ids)
+            T = -(-max_len // 32) * 32
+            feats, lens = corpus.padded_batch(ids, pad_to=T)
+            tables = AlignerTables(states=tables_all.states[ids],
+                                   lengths=tables_all.lengths[ids],
+                                   tdp=tables_all.tdp[ids])
+            states, _costs = align_batch(
+                pack, feats, lens, tables, pruning_threshold=thr,
+                tie_pruned=self.cfg.alignment_pruning, dtype=self.dtype)
+            for b, s in enumerate(ids[:n_real]):
+                o = corpus.feature_offsets[s]
+                alignment[o: o + lens[b]] = states[b, : lens[b]]
+
+    # -- the outer loop ------------------------------------------------------
+
+    def train(self, corpus: Corpus) -> np.ndarray:
+        cfg = self.cfg
+        t_start = time.perf_counter()
+        automata = [build_segment_automaton(self.lexicon, orth)
+                    for orth in corpus.orths]
+        tables_all = AlignerTables.build(automata, self.tdp)
+        alignment = np.zeros(corpus.total_frames, dtype=np.int32)
+
+        # linear segmentation (energy-based initial alignment)
+        seg_fn = (linear_segmentation_approximation
+                  if cfg.approx_linear_segmentation
+                  else linear_segmentation_running_sums)
+        for s in range(corpus.num_segments):
+            energy = corpus.feature_sequence(s)[:, 0]
+            b1, b2 = seg_fn(energy)
+            o = corpus.feature_offsets[s]
+            alignment[o: o + energy.shape[0]] = linear_alignment_mapping(
+                automata[s].states, energy.shape[0], b1, b2)
+
+        self._accumulate(corpus, alignment, first_pass=True)
+        self.model.finalize()
+        score = self.calc_am_score(corpus, alignment)
+        self.log(f"AM score: {score:.6g}")
+        self._stat(f"-1 0 0 {score:g}")
+        self.log(f"Num densities: {self.model.num_densities()}")
+        if cfg.mixture_path:
+            write_mixture_set(cfg.mixture_path + "lin.mix", self.model.to_raw())
+
+        for i in range(cfg.num_splits + 1):
+            if i > 0:
+                self.model.split(2 * cfg.min_obs)
+                self._accumulate(corpus, alignment, first_pass=False)
+                self.model.finalize()
+                self.model.eliminate(cfg.min_obs)
+                self._accumulate(corpus, alignment, first_pass=False)
+                self.model.finalize()
+                self.log(f"Num densities: {self.model.num_densities()}")
+                score = self.calc_am_score(corpus, alignment)
+                self.log(f"AM score (post split): {score:.6g}")
+                self._stat(f"{i} -1 0 {score:g}")
+
+            for j in range(cfg.num_aligns):
+                if cfg.realign:
+                    self._realign(corpus, tables_all, alignment)
+                    if cfg.alignment_path:
+                        write_alignment(f"{cfg.alignment_path}{i}-{j}.dump", alignment)
+                num_estimates = 1 if i == 0 else cfg.num_estimates
+                for k in range(num_estimates):
+                    self._accumulate(corpus, alignment, first_pass=False)
+                    self.model.finalize()
+                    score = self.calc_am_score(corpus, alignment)
+                    self.log(f"AM score (accumulate): {score:.6g}")
+                    self._stat(f"{i} {j} {k} {score:g}")
+
+            if cfg.mixture_path:
+                write_mixture_set(f"{cfg.mixture_path}{i}.mix", self.model.to_raw())
+
+        if cfg.training_stats_path:
+            with open(cfg.training_stats_path, "w") as f:
+                f.write("\n".join(self.stats_lines) + "\n")
+        self.log(f"Training took {time.perf_counter() - t_start:.1f} seconds")
+        return alignment
+
+    def _stat(self, line: str) -> None:
+        self.stats_lines.append(line)

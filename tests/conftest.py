@@ -1,0 +1,49 @@
+"""Test configuration: run JAX on CPU with 8 virtual devices so the
+multi-chip sharding paths can be exercised without TPU hardware."""
+
+import os
+
+os.environ["JAX_PLATFORMS"] = "cpu"
+flags = os.environ.get("XLA_FLAGS", "")
+if "host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+
+import json  # noqa: E402
+import pathlib  # noqa: E402
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+FIXTURES = pathlib.Path(__file__).parent / "fixtures"
+REFERENCE = pathlib.Path("/root/reference")
+
+
+@pytest.fixture(scope="session")
+def fixtures_dir() -> pathlib.Path:
+    return FIXTURES
+
+
+@pytest.fixture(scope="session")
+def lexicon():
+    from speechrecognition_tpu.lexicon import build_sietill_lexicon
+    return build_sietill_lexicon()
+
+
+@pytest.fixture(scope="session")
+def demo_corpus(lexicon):
+    """The 35-utterance demo corpus with oracle-extracted features and
+    oracle normalization stats."""
+    from speechrecognition_tpu.corpus import Corpus, CorpusDescription
+    from speechrecognition_tpu.features.frontend import SignalAnalysisConfig
+
+    desc = CorpusDescription.read(
+        str(REFERENCE / "src/sietill/corpora/demo_corpus.json"), lexicon)
+    return Corpus.read(desc, str(FIXTURES / "demo_features") + "/",
+                       SignalAnalysisConfig(),
+                       normalization_path=str(FIXTURES / "normalization-demo.bin"))
+
+
+@pytest.fixture(scope="session")
+def demo_recognition():
+    with open(FIXTURES / "demo_recognition.json") as f:
+        return json.load(f)
