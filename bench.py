@@ -84,9 +84,10 @@ def main():
     rec = Recognizer(config, lex, tdp, model.pack(dtype=jnp.float32),
                      dtype=jnp.float32)
 
-    # warmup (compile all bucket shapes on a slice of the corpus)
-    rec.recognize_corpus(corpus, batch_size=512,
-                         max_segments=min(1024, corpus.num_segments))
+    # warmup: compile every (batch, bucket) shape up-front
+    t0 = time.perf_counter()
+    rec.warmup(corpus, batch_size=512)
+    log(f"warmup/compile: {time.perf_counter() - t0:.1f}s")
 
     res = rec.recognize_corpus(corpus, batch_size=512)
     rtf = res["rtf"]

@@ -140,42 +140,48 @@ class MixtureModel:
         self.var_weight_acc[:] = 0.0
 
     def _calculate_variance(self, var_idx: int, mean_vec: np.ndarray) -> None:
-        """E[X²]−E[X]² + norm term (Mixtures.cpp:251-275)."""
-        v = self.var_acc[var_idx] / self.var_weight_acc[var_idx]
-        v = v - mean_vec * mean_vec
-        self.vars[var_idx] = v
-        self.vars_inv[var_idx] = 1.0 / v
-        self.norm[var_idx] = (self.dim * math.log(2 * math.pi)
-                              + np.log(v).sum()) / 2.0
+        """E[X²]−E[X]² + norm term (Mixtures.cpp:251-275). Degenerate
+        inputs flow through as nan/inf, like the C++ double math."""
+        with np.errstate(divide="ignore", invalid="ignore"):
+            v = self.var_acc[var_idx] / self.var_weight_acc[var_idx]
+            v = v - mean_vec * mean_vec
+            self.vars[var_idx] = v
+            self.vars_inv[var_idx] = 1.0 / v
+            self.norm[var_idx] = (self.dim * math.log(2 * math.pi)
+                                  + np.log(v).sum()) / 2.0
 
     def finalize(self) -> None:
-        """M-step (Mixtures.cpp:374-461)."""
+        """M-step (Mixtures.cpp:374-461). Zero-count densities yield nan
+        means and −inf log-weights exactly like the C++ double arithmetic;
+        they are skipped by scoring (see pack()) and removed by the next
+        eliminate() — do not raise."""
         total_observations = 0.0
-        for m in range(self.num_mixtures):
-            total_mix = 0.0
-            for (mean_idx, var_idx) in self.mixtures[m]:
-                total_mix += self.mean_weight_acc[mean_idx]
-                self.means[mean_idx] = self.mean_acc[mean_idx] / self.mean_weight_acc[mean_idx]
-                if self.var_model == VarianceModel.NO_POOLING:
-                    self._calculate_variance(var_idx, self.means[mean_idx])
-            for (mean_idx, _var_idx) in self.mixtures[m]:
-                self.mean_weights[mean_idx] = self.mean_weight_acc[mean_idx] / total_mix
-                self.mean_weights_log[mean_idx] = math.log(self.mean_weights[mean_idx])
-            if self.var_model == VarianceModel.MIXTURE_POOLING:
-                mixture_mean = np.zeros(self.dim)
-                for (mean_idx, _v) in self.mixtures[m]:
-                    mixture_mean += self.mean_acc[mean_idx]
-                mixture_mean /= total_mix
-                self._calculate_variance(self.mixtures[m][0][1], mixture_mean)
-            total_observations += total_mix
-
-        if self.var_model == VarianceModel.GLOBAL_POOLING:
-            global_mean = np.zeros(self.dim)
+        with np.errstate(divide="ignore", invalid="ignore"):
             for m in range(self.num_mixtures):
-                for (mean_idx, _v) in self.mixtures[m]:
-                    global_mean += self.mean_acc[mean_idx]
-            global_mean /= total_observations
-            self._calculate_variance(0, global_mean)
+                total_mix = 0.0
+                for (mean_idx, var_idx) in self.mixtures[m]:
+                    total_mix += self.mean_weight_acc[mean_idx]
+                    self.means[mean_idx] = self.mean_acc[mean_idx] / self.mean_weight_acc[mean_idx]
+                    if self.var_model == VarianceModel.NO_POOLING:
+                        self._calculate_variance(var_idx, self.means[mean_idx])
+                for (mean_idx, _var_idx) in self.mixtures[m]:
+                    self.mean_weights[mean_idx] = self.mean_weight_acc[mean_idx] / total_mix
+                    self.mean_weights_log[mean_idx] = np.log(self.mean_weights[mean_idx])
+                if self.var_model == VarianceModel.MIXTURE_POOLING:
+                    mixture_mean = np.zeros(self.dim)
+                    for (mean_idx, _v) in self.mixtures[m]:
+                        mixture_mean += self.mean_acc[mean_idx]
+                    mixture_mean /= total_mix
+                    self._calculate_variance(self.mixtures[m][0][1], mixture_mean)
+                total_observations += total_mix
+
+            if self.var_model == VarianceModel.GLOBAL_POOLING:
+                global_mean = np.zeros(self.dim)
+                for m in range(self.num_mixtures):
+                    for (mean_idx, _v) in self.mixtures[m]:
+                        global_mean += self.mean_acc[mean_idx]
+                global_mean /= total_observations
+                self._calculate_variance(0, global_mean)
 
     def split(self, min_obs: float) -> None:
         """Split densities with enough mass, μ ± √σ² (Mixtures.cpp:465-543).
@@ -309,10 +315,19 @@ class MixtureModel:
             for d, (mean_idx, var_idx) in enumerate(self.mixtures[s]):
                 iv = self.vars_inv[var_idx]
                 mu = self.means[mean_idx]
-                A[s, d] = 0.5 * iv
-                B[s, d] = -mu * iv
-                C[s, d] = (0.5 * np.sum(mu * mu * iv) + self.norm[var_idx]
-                           - self.mean_weights_log[mean_idx])
+                a = 0.5 * iv
+                b = -mu * iv
+                c = (0.5 * np.sum(mu * mu * iv) + self.norm[var_idx]
+                     - self.mean_weights_log[mean_idx])
+                # zero-count densities have nan means / −inf log-weights;
+                # the reference's nan scores are skipped by every strict-<
+                # comparison (Mixtures.cpp:706), equivalent to "inactive"
+                if not (np.isfinite(a).all() and np.isfinite(b).all()
+                        and np.isfinite(c)):
+                    continue
+                A[s, d] = a
+                B[s, d] = b
+                C[s, d] = c
                 active[s, d] = True
         P = np.concatenate([A.reshape(S * D, dim).T,
                             B.reshape(S * D, dim).T,

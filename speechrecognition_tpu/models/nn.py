@@ -162,8 +162,13 @@ class MLP:
                        tolerance: float = 1e-2, samples: int = 50,
                        rng: Optional[np.random.Generator] = None) -> float:
         """Central finite differences on a random parameter subset vs
-        jax.grad; returns the max relative deviation."""
+        jax.grad; returns the max relative deviation. Runs in float64 so the
+        finite differences are meaningful (f32 FD noise alone is ~1e-3)."""
         rng = rng or np.random.default_rng(0)
+        params = jax.tree_util.tree_map(lambda a: a.astype(jnp.float64), params)
+        x = x.astype(jnp.float64)
+        targets = targets.astype(jnp.float64)
+        frame_mask = frame_mask.astype(jnp.float64)
         loss_fn = lambda p: self.loss(p, x, targets, frame_mask)
         g = jax.grad(loss_fn)(params)
         flat, tree = jax.tree_util.tree_flatten(params)

@@ -234,6 +234,25 @@ class Recognizer:
             lexicon, tdp, self.word_penalty,
             exclude_last_pred=self.pruned_search)
 
+    @staticmethod
+    def _bucket(length: int) -> int:
+        """Pad sequence lengths to a small fixed set so at most a handful of
+        (B, T) shapes ever compile."""
+        for b in (128, 256, 384, 512, 768, 1024):
+            if length <= b:
+                return b
+        return -(-length // 512) * 512
+
+    def warmup(self, corpus, batch_size: int = 512) -> None:
+        """Compile every (batch_size, bucket) shape the corpus will use."""
+        buckets = sorted({self._bucket(int(l)) for l in corpus.lengths})
+        for T in buckets:
+            feats = np.zeros((batch_size, T, self.pack.dim), np.float32)
+            lens = np.full(batch_size, T, np.int32)
+            decode_batch(self.pack, feats, lens, self.tables, self.am_threshold,
+                         self.lexicon.silence_idx, prune=self.pruned_search,
+                         dtype=self.dtype)
+
     def recognize_corpus(self, corpus, batch_size: int = 128,
                          max_segments: Optional[int] = None) -> dict:
         from .edit_distance import EDAccumulator, edit_distance
@@ -251,8 +270,7 @@ class Recognizer:
             n_real = len(ids)
             while len(ids) < batch_size:     # keep shapes static across batches
                 ids.append(ids[-1])
-            max_len = max(corpus.seq_length(s) for s in ids)
-            T = -(-max_len // 32) * 32
+            T = self._bucket(max(corpus.seq_length(s) for s in ids))
             feats, lens = corpus.padded_batch(ids, pad_to=T)
             results = decode_batch(self.pack, feats, lens, self.tables,
                                    self.am_threshold, self.lexicon.silence_idx,

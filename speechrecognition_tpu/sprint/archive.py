@@ -1,0 +1,73 @@
+"""Sprint FileArchive reader (Core/FileArchive.cc format).
+
+Layout (documented at rwth-asr-0.5/src/Core/FileArchive.cc:28-81):
+  8B 'SP_ARC1\\0' header, 1B info-table flag, then file blocks:
+    u32 0xaa55aa55 | u32 name_size + name | u32 compressed_size |
+    u32 uncompressed_size (0 = raw) | u32 checksum | data | u32 0x55aa55aa
+  and an optional trailing info table. All integers little-endian.
+  Compressed entries are zlib/gzip streams (Core::CompressedStream).
+"""
+
+from __future__ import annotations
+
+import gzip
+import io
+import struct
+import zlib
+from typing import Dict, List, Optional
+
+MAGIC = b"SP_ARC1\x00"
+START_TAG = 0xAA55AA55
+END_TAG = 0x55AA55AA
+
+
+class FileArchive:
+    def __init__(self, path: str):
+        self.path = path
+        self._index: Dict[str, tuple] = {}  # name → (pos, csize, usize)
+        self._scan()
+
+    def _scan(self) -> None:
+        with open(self.path, "rb") as f:
+            if f.read(8) != MAGIC:
+                raise ValueError(f"{self.path}: not a Sprint archive")
+            f.read(1)  # info-table flag; we scan blocks directly (robust)
+            while True:
+                head = f.read(4)
+                if len(head) < 4:
+                    break
+                (tag,) = struct.unpack("<I", head)
+                if tag != START_TAG:
+                    break  # reached the info table / trailer
+                (name_size,) = struct.unpack("<I", f.read(4))
+                if name_size == 0:  # empty file block
+                    (size,) = struct.unpack("<I", f.read(4))
+                    f.read(8)  # two zero u32s
+                    f.seek(size, io.SEEK_CUR)
+                else:
+                    name = f.read(name_size).decode("utf-8", "replace")
+                    csize, usize, _chk = struct.unpack("<III", f.read(12))
+                    pos = f.tell()
+                    self._index[name] = (pos, csize, usize)
+                    f.seek(csize, io.SEEK_CUR)
+                (end,) = struct.unpack("<I", f.read(4))
+                if end != END_TAG:
+                    raise ValueError(f"{self.path}: corrupt block near {name!r}")
+
+    def keys(self) -> List[str]:
+        return list(self._index.keys())
+
+    def __contains__(self, name: str) -> bool:
+        return name in self._index
+
+    def read(self, name: str) -> bytes:
+        pos, csize, usize = self._index[name]
+        with open(self.path, "rb") as f:
+            f.seek(pos)
+            data = f.read(csize)
+        if usize != 0:  # compressed
+            try:
+                return gzip.decompress(data)
+            except OSError:
+                return zlib.decompress(data)
+        return data

@@ -4,9 +4,14 @@ multi-chip sharding paths can be exercised without TPU hardware."""
 import os
 
 os.environ["JAX_PLATFORMS"] = "cpu"
-flags = os.environ.get("XLA_FLAGS", "")
-if "host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax  # noqa: E402
+
+# The environment may pre-register a TPU plugin that overrides
+# JAX_PLATFORMS — force the CPU backend with 8 virtual devices so the
+# multi-chip sharding paths are exercised without hardware.
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_num_cpu_devices", 8)
 
 import json  # noqa: E402
 import pathlib  # noqa: E402
