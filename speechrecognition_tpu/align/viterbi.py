@@ -92,9 +92,14 @@ def _align_scan(ams: jnp.ndarray, tdp: jnp.ndarray, pos_valid: jnp.ndarray,
                 jump = jnp.where(take, jnp.int8(j), jump)
         cost = jnp.where(invalid, big, best + am_t)
         cost = jnp.minimum(cost, big)
+        # renormalize per frame: decisions are invariant under a shared
+        # offset, and the float32 carry stays O(threshold) instead of
+        # drifting over hundreds of frames (see decoder.py)
+        row_best = cost.min(axis=1, keepdims=True)
+        row_best = jnp.where(row_best >= big * 0.5, 0.0, row_best)
+        cost = jnp.where(cost >= big * 0.5, big, cost - row_best)
         if use_pruning:
-            row_best = cost.min(axis=1, keepdims=True)
-            cost = jnp.where(cost > row_best + pruning_threshold, big, cost)
+            cost = jnp.where(cost > pruning_threshold, big, cost)
         # freeze rows whose utterance already ended
         alive = (t < feat_len)[:, None]
         cost = jnp.where(alive, cost, prev)

@@ -152,7 +152,10 @@ class CountLM:
                             singletons += 1
                         elif child.count == 2:
                             doubletons += 1
-            self.discounts.append(singletons / (singletons + 2.0 * doubletons))
+            denom = singletons + 2.0 * doubletons
+            # tiny corpora may have no singletons/doubletons at some order;
+            # fall back to no discounting (pure ML) instead of dividing by 0
+            self.discounts.append(singletons / denom if denom > 0 else 0.0)
             level = nxt
 
     # -- scoring -------------------------------------------------------------
@@ -182,8 +185,9 @@ class CountLM:
         return p
 
     def score(self, word: int, history: Sequence[int]) -> float:
-        """−log p, the decoder-facing convention."""
-        return -math.log(self.prob(word, history))
+        """−log p, the decoder-facing convention (inf for zero probability)."""
+        p = self.prob(word, history)
+        return -math.log(p) if p > 0.0 else float("inf")
 
     def score_matrix(self, histories: Sequence[Sequence[int]],
                      words: Optional[Sequence[int]] = None) -> np.ndarray:

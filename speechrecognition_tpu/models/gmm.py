@@ -54,7 +54,15 @@ class VarianceModel(enum.Enum):
 
 @dataclass
 class ScorePack:
-    """Device-side packed scoring tables for one model snapshot."""
+    """Device-side packed scoring tables for one model snapshot.
+
+    Two scoring methods:
+      * "mxu": quadratic expansion [x², x, 1] · P as one matmul — fastest,
+        but float32 loses ~1e-3 to cancellation (fine for training E-steps);
+      * "pallas": centered (x−μ)²·a VPU kernel (ops/mahalanobis.py) — f32
+        with ~1e-6 accuracy, used for decode paths that must reproduce the
+        reference's double-precision decisions.
+    """
 
     P: jnp.ndarray            # f32/f64 [2·dim+1, S·D] quadratic-expansion matrix
     active: jnp.ndarray       # bool [S, D]
@@ -63,6 +71,10 @@ class ScorePack:
     dim: int
     max_approx: bool
     dtype: jnp.dtype
+    method: str = "mxu"
+    mu: Optional[jnp.ndarray] = None   # f32 [S·D, dim] (pallas)
+    a: Optional[jnp.ndarray] = None    # f32 [S·D, dim] (pallas)
+    c: Optional[jnp.ndarray] = None    # f32 [S·D] (pallas)
 
     def features_expanded(self, x: jnp.ndarray) -> jnp.ndarray:
         """[N, dim] → [N, 2·dim+1] = [x², x, 1]."""
@@ -303,7 +315,8 @@ class MixtureModel:
 
     # -- device packing ------------------------------------------------------
 
-    def pack(self, dtype=jnp.float32, density_cap: Optional[int] = None) -> ScorePack:
+    def pack(self, dtype=jnp.float32, density_cap: Optional[int] = None,
+             method: str = "mxu") -> ScorePack:
         S = self.num_mixtures
         D = density_cap or self.max_densities_per_mixture
         dim = self.dim
@@ -332,10 +345,18 @@ class MixtureModel:
         P = np.concatenate([A.reshape(S * D, dim).T,
                             B.reshape(S * D, dim).T,
                             C.reshape(1, S * D)], axis=0)
+        mu = a = c = None
+        if method == "pallas":
+            from ..ops.mahalanobis import pack_to_mahalanobis
+            mu_np, a_np, c_np, _act = pack_to_mahalanobis(self)
+            if D != self.max_densities_per_mixture:
+                raise ValueError("pallas pack does not support density_cap override")
+            mu, a, c = (jnp.asarray(mu_np), jnp.asarray(a_np), jnp.asarray(c_np))
         return ScorePack(P=jnp.asarray(P, dtype=dtype),
                          active=jnp.asarray(active),
                          num_mixtures=S, density_cap=D, dim=dim,
-                         max_approx=self.max_approx, dtype=dtype)
+                         max_approx=self.max_approx, dtype=dtype,
+                         method=method, mu=mu, a=a, c=c)
 
     # -- host application of device statistics -------------------------------
 
@@ -356,6 +377,14 @@ class MixtureModel:
 
 def density_scores(pack: ScorePack, feats: jnp.ndarray) -> jnp.ndarray:
     """[N, dim] → [N, S, D] per-density scores (−log p, padded slots huge)."""
+    if pack.method == "pallas":
+        import jax as _jax
+        from ..ops.mahalanobis import mahalanobis_scores
+        interpret = _jax.default_backend() == "cpu"
+        scores = mahalanobis_scores(feats.astype(jnp.float32), pack.mu,
+                                    pack.a, pack.c, interpret=interpret)
+        return scores.astype(pack.dtype).reshape(
+            feats.shape[0], pack.num_mixtures, pack.density_cap)
     X = pack.features_expanded(feats.astype(pack.dtype))
     scores = X @ pack.P  # [N, S·D] on the MXU
     return scores.reshape(X.shape[0], pack.num_mixtures, pack.density_cap)
@@ -369,9 +398,25 @@ def mixture_scores_from_density(pack: ScorePack, scores_sd: jnp.ndarray) -> jnp.
     return -jax.scipy.special.logsumexp(neg, axis=-1)
 
 
+AM_CHUNK = 1 << 15  # frames per chunk: bounds the [chunk, S·D] intermediate
+
+
 def am_scores(pack: ScorePack, feats: jnp.ndarray) -> jnp.ndarray:
-    """[N, dim] → [N, S] state-level acoustic scores."""
-    return mixture_scores_from_density(pack, density_scores(pack, feats))
+    """[N, dim] → [N, S] state-level acoustic scores.
+
+    Internally chunked over frames so the [chunk, S·D] per-density tensor
+    never exceeds ~0.5 GB regardless of batch size (the density dimension
+    is reduced immediately)."""
+    N = feats.shape[0]
+    if N <= AM_CHUNK:
+        return mixture_scores_from_density(pack, density_scores(pack, feats))
+    pad = (-N) % AM_CHUNK
+    fp = jnp.pad(feats, ((0, pad), (0, 0)))
+    chunks = fp.reshape(-1, AM_CHUNK, feats.shape[1])
+    out = jax.lax.map(
+        lambda x: mixture_scores_from_density(pack, density_scores(pack, x)),
+        chunks)
+    return out.reshape(-1, pack.num_mixtures)[:N]
 
 
 def accumulate_chunk(pack: ScorePack, feats: jnp.ndarray, states: jnp.ndarray,

@@ -151,9 +151,17 @@ def _decode_scan(am: jnp.ndarray, feat_len: jnp.ndarray,
         new = jnp.where(slot_valid[None, :, :], new, big)
         new = jnp.minimum(new, big)
 
+        # renormalize: subtract the per-frame best from every hypothesis.
+        # All competing paths through frame t share the offset, so decisions
+        # are invariant — but the float32 carry stays O(threshold) instead of
+        # drifting to O(1e4), which is what preserves the reference's
+        # double-precision decisions without f64 on the device.
+        best = new.min(axis=(1, 2), keepdims=True)
+        best = jnp.where(best >= big * 0.5, 0.0, best)
+        new = jnp.where(new >= big * 0.5, big, new - best)
+
         if prune:
-            best = new.min(axis=(1, 2), keepdims=True)
-            new = jnp.where(new > best + am_threshold, big, new)
+            new = jnp.where(new > am_threshold, big, new)
 
         # traceback: best word-end (smallest word index on ties via argmin)
         end_scores = jnp.take_along_axis(

@@ -29,26 +29,35 @@ class FeatureCache:
         return dict(re.findall(r'name="([^"]+)"\s+value="([^"]+)"', raw))
 
     def read_features(self, key: str) -> Tuple[np.ndarray, np.ndarray]:
-        """Returns (features f32 [T, dim], timestamps f32 [T, 2])."""
+        """Returns (features f32 [T, dim], timestamps f32 [T, 2]).
+
+        An entry may contain several gathered blocks (the CacheWriter
+        flushes once per datatype change *and* at destruction,
+        Flow/Cache.cc:89-104) — concatenate them all."""
         buf = self.archive.read(key)
         off = 0
-        (name_len,) = struct.unpack_from("<I", buf, off)
-        off += 4
-        datatype = buf[off: off + name_len].decode()
-        off += name_len
-        if datatype != "vector-f32":
-            raise ValueError(f"{key}: unsupported datatype {datatype}")
-        (n,) = struct.unpack_from("<I", buf, off)
-        off += 4
         feats: List[np.ndarray] = []
-        times = np.empty((n, 2), np.float32)
-        for i in range(n):
-            (size,) = struct.unpack_from("<I", buf, off)
+        times: List[Tuple[float, float]] = []
+        while off < len(buf):
+            (name_len,) = struct.unpack_from("<I", buf, off)
             off += 4
-            vec = np.frombuffer(buf, dtype="<f4", count=size, offset=off)
-            off += 4 * size
-            start, end = struct.unpack_from("<ff", buf, off)
-            off += 8
-            feats.append(vec)
-            times[i] = (start, end)
-        return np.stack(feats) if feats else np.zeros((0, 0), np.float32), times
+            datatype = buf[off: off + name_len].decode()
+            off += name_len
+            if datatype != "vector-f32":
+                raise ValueError(f"{key}: unsupported datatype {datatype}")
+            (n,) = struct.unpack_from("<I", buf, off)
+            off += 4
+            for _i in range(n):
+                (size,) = struct.unpack_from("<I", buf, off)
+                off += 4
+                vec = np.frombuffer(buf, dtype="<f4", count=size, offset=off)
+                off += 4 * size
+                # Flow::Time is f64 (Flow/Types.hh:32)
+                start, end = struct.unpack_from("<dd", buf, off)
+                off += 16
+                feats.append(vec)
+                times.append((start, end))
+            if len(buf) - off < 8:  # trailing bytes after the last block
+                break
+        return (np.stack(feats) if feats else np.zeros((0, 0), np.float32),
+                np.asarray(times, np.float32))
