@@ -27,6 +27,9 @@ def log(*a):
 
 def main():
     import jax
+    jax.config.update("jax_compilation_cache_dir",
+                      os.path.join(REPO, ".jax_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     import jax.numpy as jnp
     from speechrecognition_tpu.config import Configuration
     from speechrecognition_tpu.corpus import Corpus, CorpusDescription

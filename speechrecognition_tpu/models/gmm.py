@@ -179,7 +179,10 @@ class MixtureModel:
                 for (mean_idx, _var_idx) in self.mixtures[m]:
                     self.mean_weights[mean_idx] = self.mean_weight_acc[mean_idx] / total_mix
                     self.mean_weights_log[mean_idx] = np.log(self.mean_weights[mean_idx])
-                if self.var_model == VarianceModel.MIXTURE_POOLING:
+                if self.var_model == VarianceModel.MIXTURE_POOLING \
+                        and self.mixtures[m]:
+                    # empty mixtures occur when eliminate() drops every
+                    # density of an unobserved class (LVCSR state tying)
                     mixture_mean = np.zeros(self.dim)
                     for (mean_idx, _v) in self.mixtures[m]:
                         mixture_mean += self.mean_acc[mean_idx]

@@ -3,17 +3,23 @@
 score[n, j] = Σᵢ (x[n,i] − μ[j,i])² · a[j,i] + c[j]
 
 with a = 1/(2σ²) and c = norm − log w, i.e. the reference's density score
-(Mixtures.cpp:590-628). The obvious MXU formulation (quadratic expansion
-as one matmul, models/gmm.py) loses ~1e-3 of the score to catastrophic
-cancellation in float32 — the expansion terms are O(10²-10³) while the
-result is O(10). This kernel computes the *centered* form directly on the
-VPU, so the accumulation happens at the result's own magnitude and f32
-keeps ~1e-6 absolute accuracy — enough to reproduce the C++ double
-decoder's decisions.
+(Mixtures.cpp:590-628). The MXU formulation (quadratic expansion as one
+matmul, models/gmm.py) loses ~1e-4 of the score to cancellation in
+float32; this kernel computes the *centered* form directly on the VPU so
+accumulation happens at the result's own magnitude (~1e-6 error).
 
-Tiling: grid over (N/128, J/128); each step broadcasts one feature column
-against one codebook column and accumulates a [128, 128] tile, unrolled
-over the (padded) feature dimension.
+Layout: the feature dimension is padded to a full 128-lane vector (padded
+lanes carry a = 0, contributing nothing). Blocks are
+
+    x  [TILE_N, 128]   one tile of frames
+    mu [TILE_J, 128]   one tile of densities
+    a  [TILE_J, 128]
+    out[TILE_N, TILE_J]
+
+and the kernel loops over the TILE_J densities, each iteration doing a
+[TILE_N, 128] broadcast-subtract/square/scale and a lane reduction. All
+tile shapes respect the (8, 128) f32 tiling constraint — a block whose
+last dimension is the raw feature size (25) hangs Mosaic.
 """
 
 from __future__ import annotations
@@ -30,14 +36,18 @@ from jax.experimental.pallas import tpu as pltpu
 
 TILE_N = 128
 TILE_J = 128
+LANES = 128
 
 
-def _kernel(x_ref, mu_ref, a_ref, c_ref, out_ref, *, dim: int):
+def _kernel(x_ref, mu_t_ref, a_t_ref, out_ref, *, dim: int):
+    # x_ref    [TILE_N, LANES]  frames (feature dim on lanes, zero-padded)
+    # mu_t_ref [DIM_PAD, TILE_J] transposed codebook (densities on lanes)
+    # a_t_ref  [DIM_PAD, TILE_J]
     acc = jnp.zeros((TILE_N, TILE_J), jnp.float32)
-    for i in range(dim):
-        d = x_ref[:, i][:, None] - mu_ref[:, i][None, :]
-        acc = acc + d * d * a_ref[:, i][None, :]
-    out_ref[:, :] = acc + c_ref[0, :][None, :]
+    for i in range(dim):  # static unroll — all indices lane/sublane static
+        d = x_ref[:, i][:, None] - mu_t_ref[i, :][None, :]
+        acc = acc + d * d * a_t_ref[i, :][None, :]
+    out_ref[:, :] = acc
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
@@ -45,48 +55,51 @@ def mahalanobis_scores(x: jnp.ndarray, mu: jnp.ndarray, a: jnp.ndarray,
                        c: jnp.ndarray, interpret: bool = False) -> jnp.ndarray:
     """x [N, dim] f32, mu/a [J, dim] f32, c [J] f32 → scores [N, J] f32.
 
-    N and J are padded to multiples of 128 internally; callers slice.
+    N, J are padded to tile multiples and dim to 128 lanes internally.
     """
     N, dim = x.shape
     J = mu.shape[0]
     Np = -(-N // TILE_N) * TILE_N
     Jp = -(-J // TILE_J) * TILE_J
+    if dim > LANES:
+        raise ValueError(f"feature dim {dim} exceeds {LANES} lanes")
 
-    xp = jnp.pad(x.astype(jnp.float32), ((0, Np - N), (0, 0)))
-    mup = jnp.pad(mu.astype(jnp.float32), ((0, Jp - J), (0, 0)))
-    ap = jnp.pad(a.astype(jnp.float32), ((0, Jp - J), (0, 0)))
-    cp = jnp.pad(c.astype(jnp.float32), (0, Jp - J))[None, :]
+    DIM_PAD = -(-dim // 8) * 8  # sublane multiple
+    xp = jnp.zeros((Np, LANES), jnp.float32).at[:N, :dim].set(
+        x.astype(jnp.float32))
+    mu_t = jnp.zeros((DIM_PAD, Jp), jnp.float32).at[:dim, :J].set(
+        mu.astype(jnp.float32).T)
+    a_t = jnp.zeros((DIM_PAD, Jp), jnp.float32).at[:dim, :J].set(
+        a.astype(jnp.float32).T)
 
     # The package enables x64 globally for host-side parity math; Mosaic
     # requires 32-bit index literals, so trace the kernel without x64.
     with jax.enable_x64(False):
-        out = _call_kernel(xp, mup, ap, cp, Np, Jp, dim, interpret)
-    return out[:N, :J]
+        out = _call_kernel(xp, mu_t, a_t, Np, Jp, DIM_PAD, dim, interpret)
+    return out[:N, :J] + c.astype(jnp.float32)[None, :]
 
 
-def _call_kernel(xp, mup, ap, cp, Np, Jp, dim, interpret):
-    out = pl.pallas_call(
+def _call_kernel(xp, mu_t, a_t, Np, Jp, DIM_PAD, dim, interpret):
+    return pl.pallas_call(
         functools.partial(_kernel, dim=dim),
         grid=(Np // TILE_N, Jp // TILE_J),
         in_specs=[
-            pl.BlockSpec((TILE_N, dim), lambda i, j: (i, 0),
+            pl.BlockSpec((TILE_N, LANES), lambda i, j: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((TILE_J, dim), lambda i, j: (j, 0),
+            pl.BlockSpec((DIM_PAD, TILE_J), lambda i, j: (0, j),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((TILE_J, dim), lambda i, j: (j, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, TILE_J), lambda i, j: (0, j),
+            pl.BlockSpec((DIM_PAD, TILE_J), lambda i, j: (0, j),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((TILE_N, TILE_J), lambda i, j: (i, j),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((Np, Jp), jnp.float32),
         cost_estimate=pl.CostEstimate(
-            flops=3 * Np * Jp * dim, bytes_accessed=4 * (Np * dim + 2 * Jp * dim + Np * Jp),
+            flops=3 * Np * Jp * dim,
+            bytes_accessed=4 * (Np * LANES + 2 * DIM_PAD * Jp + Np * Jp),
             transcendentals=0),
         interpret=interpret,
-    )(xp, mup, ap, cp)
-    return out
+    )(xp, mu_t, a_t)
 
 
 def pack_to_mahalanobis(model) -> Tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:

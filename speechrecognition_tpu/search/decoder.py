@@ -63,8 +63,10 @@ class DecoderTables:
     max_pos: int
 
     @staticmethod
-    def build(lexicon: Lexicon, tdp: TdpModel, word_penalty: float,
+    def build(lexicon: Lexicon, tdp: TdpModel, word_penalty,
               exclude_last_pred: bool = True) -> "DecoderTables":
+        """word_penalty: scalar (silence exempt, reference semantics) or a
+        per-word array [W] (e.g. Sprint exit penalties per state type)."""
         W, P = lexicon.num_words, lexicon.max_positions
         state_table = lexicon.state_table()
         word_len = lexicon.word_lengths()
@@ -81,13 +83,17 @@ class DecoderTables:
                 valid &= (p != last_pos[:, None])
             tdp_within[:, :, j] = np.where(valid, tdp_target[:, :, j], float(BIG))
 
+        if np.isscalar(word_penalty):
+            wp_vec = np.where(np.arange(W) == lexicon.silence_idx,
+                              0.0, float(word_penalty))
+        else:
+            wp_vec = np.asarray(word_penalty, dtype=np.float64)
         entry_pen = np.full((W, 2), float(BIG))
         for w in range(W):
-            wp = 0.0 if w == lexicon.silence_idx else word_penalty
             for init_state in range(2):
                 if init_state < word_len[w]:
-                    entry_pen[w, init_state] = wp + tdp.score(int(first_state[w]),
-                                                              init_state + 1)
+                    entry_pen[w, init_state] = wp_vec[w] + tdp.score(
+                        int(first_state[w]), init_state + 1)
         return DecoderTables(state_table=state_table, word_len=word_len,
                              last_pos=last_pos, first_state=first_state,
                              tdp_within=tdp_within, entry_pen=entry_pen,

@@ -47,6 +47,8 @@ class TrainerConfig:
     realign: bool = True
     alignment_pruning: bool = True
     approx_linear_segmentation: bool = True
+    write_linear_segmentation: bool = False
+    segmentation_path: str = ""
     batch_size: int = 256
     chunk_frames: int = 1 << 16
 
@@ -64,6 +66,8 @@ class TrainerConfig:
             realign=ParameterBool("realign", True)(config),
             alignment_pruning=ParameterBool("alignment-pruning", True)(config),
             approx_linear_segmentation=ParameterBool("approx-linear-segmentation", True)(config),
+            write_linear_segmentation=ParameterBool("write-linear-segmentation", False)(config),
+            segmentation_path=ParameterString("segmentation-path", "")(config),
         )
 
 
@@ -168,6 +172,10 @@ class Trainer:
             o = corpus.feature_offsets[s]
             alignment[o: o + energy.shape[0]] = linear_alignment_mapping(
                 automata[s].states, energy.shape[0], b1, b2)
+            if cfg.write_linear_segmentation and cfg.segmentation_path:
+                self._write_segmentation(
+                    f"{cfg.segmentation_path}{corpus.names[s]}.seg",
+                    energy, b1, b2)
 
         self._accumulate(corpus, alignment, first_pass=True)
         self.model.finalize()
@@ -215,3 +223,16 @@ class Trainer:
 
     def _stat(self, line: str) -> None:
         self.stats_lines.append(line)
+
+    @staticmethod
+    def _write_segmentation(path: str, energy: np.ndarray, b1: int, b2: int,
+                            ) -> None:
+        """Energy trace + boundary markers for plotting
+        (reference: Training.cpp:561-581 .seg format)."""
+        import os
+        os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+        with open(path, "w") as out:
+            for idx, e in enumerate(energy):
+                out.write(f"{idx} {e}\n")
+            out.write(f"\n{b1} -0.1 \n{b1} .15\n")
+            out.write(f"\n{b2 - 1} -0.1 \n{b2 - 1} .15\n")

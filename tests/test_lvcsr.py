@@ -1,0 +1,126 @@
+"""LVCSR tier integration: AN4 lexicon + CART + LDA + cache → decoder tables,
+and a self-contained train+decode smoke test on the cache features.
+
+The reference example-setup ships everything except the trained acoustic
+model, so full WER parity is impossible; instead we verify the whole
+assembly line produces consistent structures and that a quickly-trained
+model on the (test) cache features can decode its own training data far
+better than chance — exercising corpus→features→LDA→tied-states→EM→decode
+end to end.
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+DATA = "/root/reference/src/example-setup/data"
+needs_an4 = pytest.mark.skipif(not os.path.isdir(DATA), reason="AN4 data absent")
+
+
+@pytest.fixture(scope="module")
+def an4():
+    from speechrecognition_tpu.sprint import (BlissCorpus, BlissLexicon,
+                                              DecisionTree, FeatureCache,
+                                              SlidingWindowLDA, read_matrix_xml)
+    from speechrecognition_tpu.sprint.am import AllophoneStateModel
+
+    bliss = BlissLexicon.read(f"{DATA}/an4.20081021.lexicon")
+    tree = DecisionTree.read(f"{DATA}/cart.1.tree")
+    corpus = BlissCorpus.read(f"{DATA}/an4_test.20081021.corpus.gz")
+    cache = FeatureCache(f"{DATA}/mfcc.features.recognition.cache")
+    lda = SlidingWindowLDA(read_matrix_xml(f"{DATA}/lda-1.matrix"),
+                           max_size=9, right=4)
+    asm = AllophoneStateModel(bliss=bliss, tree=tree)
+    return bliss, tree, corpus, cache, lda, asm
+
+
+@needs_an4
+def test_tied_state_automata(an4):
+    bliss, tree, corpus, cache, lda, asm = an4
+    lex, orths, tied = asm.build_search_lexicon()
+    assert lex.silence_idx == 0
+    assert lex.num_words > 100            # 103 lemmas + variants
+    # every slot maps to a valid CART class
+    assert tied.min() >= 0 and tied.max() <= tree.max_leaf_id()
+    # silence is 1 phone × 3 states
+    assert lex.get_silence_automaton().num_states == 3
+    # a 1-phoneme word ("A") has 3 positions, longer words more
+    a = lex.get_automaton_for_word(lex.word_idx("A"))
+    assert a.num_states == 3
+
+
+@needs_an4
+def test_transition_model_from_config(an4):
+    from speechrecognition_tpu.sprint import SprintConfig
+    from speechrecognition_tpu.sprint.am import TransitionModel
+    cfg = SprintConfig.read(
+        "/root/reference/src/example-setup/config/recognition-triphones-lda.config")
+    tm = TransitionModel.from_config(cfg)
+    assert tm.default.loop == 3.0
+    assert tm.default.exit == 150.0
+    assert tm.silence.loop == 0.0001
+    assert tm.silence.exit == 15.0
+    assert tm.entry_m1.loop == float("inf")
+
+
+@needs_an4
+def test_an4_train_decode_smoke(an4):
+    """Train a tiny tied-state GMM on 40 cache utterances (forced-aligned
+    from linear segmentation + realign) and decode them — the in-domain
+    WER must beat 50% (chance on 103 words is ≈100%)."""
+    from speechrecognition_tpu.corpus import Corpus
+    from speechrecognition_tpu.lexicon import build_segment_automaton
+    from speechrecognition_tpu.models.gmm import MixtureModel, VarianceModel
+    from speechrecognition_tpu.search.decoder import DecoderTables, decode_batch
+    from speechrecognition_tpu.search.edit_distance import edit_distance
+    from speechrecognition_tpu.tdp import TdpModel
+    from speechrecognition_tpu.train.em import Trainer, TrainerConfig
+
+    bliss, tree, corpus_xml, cache, lda, asm = an4
+    lex, orths, _tied = asm.build_search_lexicon()
+
+    n_utts = 130
+    segs = corpus_xml.segments[:n_utts]
+    feats_list = []
+    offsets = [0]
+    word_seqs = []
+    for seg in segs:
+        key = corpus_xml.full_segment_name(seg)
+        f, _t = cache.read_features(key)
+        feats_list.append(lda(f).astype(np.float32))
+        offsets.append(offsets[-1] + f.shape[0])
+        word_seqs.append([lex.word_idx(w) for w in seg.orth])
+
+    corpus = Corpus(
+        features=np.concatenate(feats_list, axis=0),
+        feature_offsets=np.asarray(offsets, dtype=np.int64),
+        orths=word_seqs, names=[s.name for s in segs],
+        frame_duration=0.01, dim=45)
+
+    num_classes = asm.num_classes
+    model = MixtureModel(dim=45, num_mixtures=num_classes,
+                         var_model=VarianceModel.GLOBAL_POOLING, max_approx=True)
+    tdp = TdpModel(silence_state=int(lex.get_silence_automaton().states[0]),
+                   loop=3.0, forward=0.0, skip=30.0)
+    cfg = TrainerConfig(min_obs=1, num_splits=2, num_aligns=2, num_estimates=3,
+                        pruning_threshold=300.0)
+    trainer = Trainer(cfg, lex, model, tdp, dtype=jnp.float64,
+                      log=lambda *a: None)
+    trainer.train(corpus)
+
+    # word penalty plays the role of Sprint's high exit penalty (the
+    # shipped config uses *.exit = 150 for words, 15 for silence)
+    tables = DecoderTables.build(lex, tdp, word_penalty=40.0)
+    feats, lens = corpus.padded_batch(list(range(n_utts)))
+    hyps = decode_batch(model.pack(dtype=jnp.float64), feats, lens, tables,
+                        500.0, lex.silence_idx, dtype=jnp.float64)
+    errors = total = 0
+    for s in range(n_utts):
+        ed = edit_distance(word_seqs[s], hyps[s])
+        errors += ed.total_count
+        total += len(word_seqs[s])
+    wer = 100.0 * errors / total
+    assert wer < 40.0, f"in-domain AN4 WER {wer:.1f}%"

@@ -1,0 +1,81 @@
+"""Hybrid-NN training end-to-end on the demo corpus with the oracle
+alignment as targets (the reference train-nn action)."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from speechrecognition_tpu.config import Configuration
+from speechrecognition_tpu.models.nn import MLP, NNScorer, layer_specs_from_config
+from speechrecognition_tpu.train.nn_training import (MiniBatchBuilder, NnTrainer,
+                                                     compute_prior_from_alignment)
+
+
+@pytest.fixture(scope="module")
+def nn_setup(demo_corpus, fixtures_dir, tmp_path_factory):
+    out = tmp_path_factory.mktemp("nn")
+    config = Configuration({
+        "target-file": str(fixtures_dir / "demo_alignments" / "alignment-2-0.dump"),
+        "context-frames": 1,
+        "cv-size": 0.1,
+        "batch-size": 8,
+        "num-epochs": 25,
+        "updater": "sgd",
+        "learning-rate": 0.5,
+        "gradient-check": False,
+        "output-dir": str(out / "models"),
+        "nn-training-stats-path": str(out / "nn_stats.data"),
+        "layers": [
+            {"layer-name": "hidden-layer1", "num-outputs": 50,
+             "type": "feed-forward", "nonlinearity": "sigmoid", "input": ["data"]},
+            {"layer-name": "output-layer", "num-outputs": 106,
+             "type": "output", "input": ["hidden-layer1"]},
+        ],
+    })
+    builder = MiniBatchBuilder.from_config(config, demo_corpus, 8, 106, 0)
+    mlp = MLP(layer_specs_from_config(config), input_dim=builder.feature_size)
+    return config, builder, mlp, out
+
+
+def test_minibatch_builder_shapes(nn_setup, demo_corpus):
+    config, builder, mlp, out = nn_setup
+    assert builder.feature_size == 25 * 3
+    assert builder.num_train_batches >= 3
+    feats, targets, mask = builder.build_batch(0, cv=False)
+    T, B, D = feats.shape
+    assert D == 75 and B == 8
+    assert targets.shape == (T, B, 106)
+    # every valid frame has exactly one target
+    for b in range(B):
+        L = int(mask[b])
+        if L:
+            assert np.allclose(targets[:L, b].sum(axis=-1), 1.0)
+            assert np.all(targets[L:, b] == 0.0)
+
+
+def test_nn_training_learns(nn_setup):
+    config, builder, mlp, out = nn_setup
+    trainer = NnTrainer(config, builder, mlp, log=lambda *a: None)
+    result = trainer.train()
+    # 106-class frame task: must beat the silence-majority baseline quickly
+    assert result["train_fer"] < 0.55, result
+    assert (out / "models" / "25").exists()
+    assert (out / "nn_stats.data").exists()
+    # scorer integration: finite scores with the right shape
+    prior = compute_prior_from_alignment(builder.alignment, 106)
+    log_prior = jnp.asarray(0.6 * np.log(np.maximum(prior, 1e-10)), jnp.float32)
+    scorer = NNScorer(mlp, result["params"], log_prior, context_frames=1)
+    feats = np.zeros((2, 40, 25), np.float32)
+    am = np.asarray(scorer.am_batch(feats, 25))
+    assert am.shape == (2, 40, 106)
+    assert np.isfinite(am).all()
+
+
+def test_prior_from_alignment(fixtures_dir):
+    from speechrecognition_tpu.io import read_alignment
+    states, _, _ = read_alignment(
+        str(fixtures_dir / "demo_alignments" / "alignment-2-0.dump"))
+    prior = compute_prior_from_alignment(states, 106)
+    assert abs(prior.sum() - 1.0) < 1e-12
+    assert prior[0] > 0.3   # silence dominates

@@ -27,6 +27,10 @@ def main():
     ap.add_argument("--batch-size", type=int, default=512)
     args = ap.parse_args()
 
+    import jax
+    jax.config.update("jax_compilation_cache_dir",
+                      os.path.join(REPO, ".jax_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     import jax.numpy as jnp
     from speechrecognition_tpu.config import Configuration
     from speechrecognition_tpu.corpus import Corpus, CorpusDescription
