@@ -130,13 +130,14 @@ def _decode_scan_bigram(am: jnp.ndarray, feat_len: jnp.ndarray,
         bkp_out = jnp.where(alive[:, :, None], new_bkp, bkp)
         pred_out = jnp.where(alive[:, :, None], new_pred, pred)
         book_out = jnp.where(alive, end_scores, book_prev)
+        offset = jnp.where(alive[:, 0], best[:, 0, 0], 0.0)
         return ((hyp_out, bkp_out, pred_out, book_out),
-                (end_scores, end_bkp, end_pred))
+                (end_scores, end_bkp, end_pred, offset))
 
     init = (hyp0, bkp0, pred0, book0)
-    _, (scores, bkps, preds) = jax.lax.scan(
+    _, (scores, bkps, preds, offsets) = jax.lax.scan(
         step, init, (jnp.moveaxis(am, 1, 0), jnp.arange(1, T + 1)))
-    return scores, bkps, preds
+    return scores, bkps, preds, offsets
 
 
 def decode_batch_bigram(pack: gmm_mod.ScorePack, feats: np.ndarray,
@@ -154,7 +155,7 @@ def decode_batch_bigram(pack: gmm_mod.ScorePack, feats: np.ndarray,
     flat = jnp.asarray(feats.reshape(B * T, dim))
     am = gmm_mod.am_scores(pack, flat).reshape(B, T, pack.num_mixtures)
     am = am.astype(dtype)
-    scores, bkps, preds = _decode_scan_bigram(
+    scores, bkps, preds, _offsets = _decode_scan_bigram(
         am, jnp.asarray(feat_len, jnp.int32),
         jnp.asarray(tables.state_table), jnp.asarray(tables.last_pos),
         jnp.asarray(tables.word_len), jnp.asarray(tables.first_state),
