@@ -82,3 +82,34 @@ def test_cli_recognize_smoke(fixtures_dir, tmp_path):
     assert proc.returncode == 0, proc.stderr[-2000:]
     assert "WER: 19.587629%" in proc.stderr
     assert "SER: 20.000000%" in proc.stderr
+
+
+def test_tsne_separates_clusters():
+    """t-SNE on two well-separated Gaussian blobs must keep them apart."""
+    from speechrecognition_tpu.tools.tsne import tsne
+    rng = np.random.default_rng(0)
+    a = rng.normal(0, 0.3, (60, 10))
+    b = rng.normal(4, 0.3, (60, 10))
+    Y = tsne(np.vstack([a, b]), perplexity=15.0, n_iter=400)
+    ca, cb = Y[:60].mean(axis=0), Y[60:].mean(axis=0)
+    labels = np.array([0] * 60 + [1] * 60)
+    assign = (np.linalg.norm(Y - ca, axis=1)
+              > np.linalg.norm(Y - cb, axis=1)).astype(int)
+    assert (assign == labels).mean() >= 0.95
+
+
+def test_dump_activations(tmp_path):
+    from speechrecognition_tpu.config import Configuration
+    from speechrecognition_tpu.models.nn import MLP, layer_specs_from_config
+    from speechrecognition_tpu.tools.tsne import dump_activations
+    cfg = Configuration({"layers": [
+        {"layer-name": "h1", "num-outputs": 8, "type": "feed-forward",
+         "nonlinearity": "sigmoid", "input": ["data"]},
+        {"layer-name": "out", "num-outputs": 5, "type": "output", "input": ["h1"]},
+    ]})
+    mlp = MLP(layer_specs_from_config(cfg), input_dim=6)
+    params = mlp.init_params(np.random.default_rng(0))
+    feats = np.random.default_rng(1).normal(0, 1, (20, 6)).astype(np.float32)
+    dump_activations(mlp, params, feats, ["h1", "out"], str(tmp_path))
+    h1 = np.fromfile(tmp_path / "h1.activations", dtype=np.float32)
+    assert h1.size == 20 * 8
