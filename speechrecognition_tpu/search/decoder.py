@@ -41,7 +41,8 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from ..config import Configuration, ParameterBool, ParameterFloat, ParameterInt
+from ..config import (Configuration, Parameter, ParameterBool, ParameterFloat,
+                      ParameterInt)
 from ..lexicon import Lexicon
 from ..tdp import TdpModel
 from ..models import gmm as gmm_mod
@@ -237,6 +238,8 @@ class Recognizer:
     def __init__(self, config: Configuration, lexicon: Lexicon,
                  tdp: TdpModel, pack: gmm_mod.ScorePack,
                  dtype=jnp.float32):
+        from .tree_decoder import TreeTables
+
         self.lexicon = lexicon
         self.pack = pack
         self.dtype = dtype
@@ -244,9 +247,22 @@ class Recognizer:
         self.word_penalty = ParameterFloat("word-penalty", 10.0)(config)
         self.pruned_search = ParameterBool("pruned-search", True)(config)
         self.max_runs = ParameterInt("max-recognition-runs", 1000)(config)
+        self.search_type = Parameter("search-type", "word-loop", str)(config)
         self.tables = DecoderTables.build(
             lexicon, tdp, self.word_penalty,
             exclude_last_pred=self.pruned_search)
+        self.tree_tables = (TreeTables.build(lexicon, tdp, self.word_penalty)
+                            if self.search_type == "tree" else None)
+
+    def _decode(self, feats: np.ndarray, lens: np.ndarray) -> List[List[int]]:
+        if self.search_type == "tree":
+            from .tree_decoder import decode_batch_tree
+            return decode_batch_tree(self.pack, feats, lens, self.tree_tables,
+                                     self.am_threshold, self.lexicon.silence_idx,
+                                     prune=self.pruned_search, dtype=self.dtype)
+        return decode_batch(self.pack, feats, lens, self.tables,
+                            self.am_threshold, self.lexicon.silence_idx,
+                            prune=self.pruned_search, dtype=self.dtype)
 
     @staticmethod
     def _bucket(length: int) -> int:
@@ -263,9 +279,7 @@ class Recognizer:
         for T in buckets:
             feats = np.zeros((batch_size, T, self.pack.dim), np.float32)
             lens = np.full(batch_size, T, np.int32)
-            decode_batch(self.pack, feats, lens, self.tables, self.am_threshold,
-                         self.lexicon.silence_idx, prune=self.pruned_search,
-                         dtype=self.dtype)
+            self._decode(feats, lens)
 
     def recognize_corpus(self, corpus, batch_size: int = 128,
                          max_segments: Optional[int] = None) -> dict:
@@ -286,9 +300,7 @@ class Recognizer:
                 ids.append(ids[-1])
             T = self._bucket(max(corpus.seq_length(s) for s in ids))
             feats, lens = corpus.padded_batch(ids, pad_to=T)
-            results = decode_batch(self.pack, feats, lens, self.tables,
-                                   self.am_threshold, self.lexicon.silence_idx,
-                                   prune=self.pruned_search, dtype=self.dtype)
+            results = self._decode(feats, lens)
             for b, s in enumerate(ids[:n_real]):
                 hyps[s] = results[b]
         elapsed = time.perf_counter() - t0

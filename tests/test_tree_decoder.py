@@ -66,3 +66,20 @@ def test_tree_pruned_matches_golden_wer(lexicon, setup, demo_corpus,
     golden = {u["idx"]: u["hyp"] for u in demo_recognition["utts"]}
     mismatches = [b for b in range(35) if hyps[b] != golden[b]]
     assert not mismatches, mismatches
+
+
+def test_recognizer_tree_mode(lexicon, setup, demo_corpus, demo_recognition):
+    """The Recognizer driver with search-type=tree must reproduce the
+    golden metrics end-to-end."""
+    from speechrecognition_tpu.config import Configuration
+    from speechrecognition_tpu.search.decoder import Recognizer
+    pack, tdp, c = setup
+    config = Configuration({"am-threshold": c["am_threshold"],
+                            "word-penalty": c["word_penalty"],
+                            "pruned-search": True, "search-type": "tree",
+                            "max-recognition-runs": 10000})
+    rec = Recognizer(config, lexicon, tdp, pack, dtype=jnp.float64)
+    res = rec.recognize_corpus(demo_corpus, batch_size=35)
+    ref = demo_recognition["corpus"]
+    assert abs(res["wer"] - ref["wer"]) < 1e-3
+    assert res["substitutions"] == ref["sid"][0]
