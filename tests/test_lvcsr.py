@@ -124,3 +124,75 @@ def test_an4_train_decode_smoke(an4):
         total += len(word_seqs[s])
     wer = 100.0 * errors / total
     assert wer < 40.0, f"in-domain AN4 WER {wer:.1f}%"
+
+
+@needs_an4
+def test_an4_arpa_bigram_decode(an4):
+    """Full LVCSR stack: Bliss lexicon + CART tying + LDA features + ARPA
+    bigram LM + word-conditioned decoder. The LM must not hurt (and
+    usually helps) vs the plain word-penalty decode."""
+    from speechrecognition_tpu.corpus import Corpus
+    from speechrecognition_tpu.lm.arpa import ArpaLM
+    from speechrecognition_tpu.models.gmm import MixtureModel, VarianceModel
+    from speechrecognition_tpu.search.decoder import DecoderTables
+    from speechrecognition_tpu.search.edit_distance import edit_distance
+    from speechrecognition_tpu.search.ngram_decoder import decode_batch_bigram
+    from speechrecognition_tpu.tdp import TdpModel
+    from speechrecognition_tpu.train.em import Trainer, TrainerConfig
+
+    bliss, tree, corpus_xml, cache, lda, asm = an4
+    lex, orths, _tied = asm.build_search_lexicon()
+
+    feats_list, offsets, word_seqs = [], [0], []
+    for seg in corpus_xml.segments:
+        f, _t = cache.read_features(corpus_xml.full_segment_name(seg))
+        feats_list.append(lda(f).astype(np.float32))
+        offsets.append(offsets[-1] + f.shape[0])
+        word_seqs.append([lex.word_idx(w) for w in seg.orth])
+    corpus = Corpus(features=np.concatenate(feats_list),
+                    feature_offsets=np.asarray(offsets, np.int64),
+                    orths=word_seqs, names=[s.name for s in corpus_xml.segments],
+                    frame_duration=0.01, dim=45)
+
+    model = MixtureModel(dim=45, num_mixtures=asm.num_classes,
+                         var_model=VarianceModel.GLOBAL_POOLING, max_approx=True)
+    tdp = TdpModel(silence_state=int(lex.get_silence_automaton().states[0]),
+                   loop=3.0, forward=0.0, skip=30.0)
+    trainer = Trainer(TrainerConfig(min_obs=1, num_splits=2, num_aligns=2,
+                                    num_estimates=3, pruning_threshold=300.0),
+                      lex, model, tdp, dtype=jnp.float64, log=lambda *a: None)
+    trainer.train(corpus)
+    pack = model.pack(dtype=jnp.float64)
+
+    # ARPA bigram → dense -log p matrix over the search lexicon
+    arpa = ArpaLM(f"{DATA}/an4.2.20081121.lm")
+    W = lex.num_words
+    sil = lex.silence_idx
+    scale = 12.0
+    lm_ids = [arpa.index(lex.orth[w]) if lex.orth[w] in arpa.word2int
+              else arpa.index("<unk>") if "<unk>" in arpa.word2int else None
+              for w in range(W)]
+    bos = arpa.index("<s>")
+    lm = np.zeros((W, W))
+    lm_start = np.zeros(W)
+    for w in range(W):
+        if w == sil:
+            continue
+        lm_start[w] = scale * arpa.score(lm_ids[w], [bos]) + 10.0
+        for v in range(W):
+            ctx = [lm_ids[v]] if v != sil else [bos]
+            lm[v, w] = scale * arpa.score(lm_ids[w], ctx) + 10.0
+    lm[:, sil] = 0.0
+    lm_start[sil] = 0.0
+
+    tables0 = DecoderTables.build(lex, tdp, word_penalty=0.0)
+    feats, lens = corpus.padded_batch(list(range(130)))
+    hyps = decode_batch_bigram(pack, feats, lens, tables0, lm, lm_start,
+                               500.0, sil, dtype=jnp.float64)
+    errors = total = 0
+    for s in range(130):
+        ed = edit_distance(word_seqs[s], hyps[s])
+        errors += ed.total_count
+        total += len(word_seqs[s])
+    wer = 100.0 * errors / total
+    assert wer < 40.0, f"AN4 ARPA-bigram WER {wer:.1f}%"

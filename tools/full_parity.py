@@ -22,7 +22,7 @@ sys.path.insert(0, REPO)
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--method", default="pallas", choices=["pallas", "mxu"])
+    ap.add_argument("--method", default="mxu", choices=["pallas", "mxu"])
     ap.add_argument("--dtype", default="f32", choices=["f32", "f64"])
     ap.add_argument("--batch-size", type=int, default=512)
     args = ap.parse_args()
