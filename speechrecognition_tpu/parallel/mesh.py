@@ -78,12 +78,13 @@ def decode_sharded(mesh: Mesh, pack, feats: np.ndarray, feat_len: np.ndarray,
     def run(feats_d, len_d):
         flat = feats_d.reshape(B * T, dim)
         am = gmm_mod.am_scores(pack, flat).reshape(B, T, pack.num_mixtures)
-        return _decode_scan(
+        _carry, outs = _decode_scan(
             am.astype(dtype), len_d,
             jnp.asarray(tables.state_table), jnp.asarray(tables.last_pos),
             jnp.asarray(tables.word_len), jnp.asarray(tables.first_state),
             jnp.asarray(tables.tdp_within), jnp.asarray(tables.entry_pen),
             jnp.asarray(am_threshold, dtype), prune=prune)
+        return outs
 
     with mesh:
         scores, words, bkps = run(feats_d, len_d)

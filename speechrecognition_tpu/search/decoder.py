@@ -107,9 +107,14 @@ def _decode_scan(am: jnp.ndarray, feat_len: jnp.ndarray,
                  word_len: jnp.ndarray, first_state: jnp.ndarray,
                  tdp_within: jnp.ndarray, entry_pen: jnp.ndarray,
                  am_threshold: jnp.ndarray, prune: bool = True,
-                 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
-    """am: f [B, T, S]. Returns book (score [T,B], word [T,B], bkp [T,B])
-    covering frames 1..T (index t-1 ↔ frame t)."""
+                 carry_in=None, t0: jnp.ndarray = None,
+                 ):
+    """am: f [B, T, S]. Returns (carry_out, (score [T,B], word [T,B],
+    bkp [T,B])) covering frames t0+1..t0+T (output index i ↔ frame t0+i+1).
+
+    `carry_in`/`t0` allow chunked decoding: one compiled (B, T) shape
+    serves arbitrarily long utterances by streaming chunks through the
+    carried (hyp, bkp, book) state."""
     B, T, S = am.shape
     dtype = am.dtype
     W, P = state_table.shape
@@ -119,9 +124,15 @@ def _decode_scan(am: jnp.ndarray, feat_len: jnp.ndarray,
     entp = entry_pen.astype(dtype)         # [W, 2]
     slot_valid = jnp.arange(P)[None, :] < word_len[:, None]  # [W, P]
 
-    hyp0 = jnp.full((B, W, P), big, dtype)
-    bkp0 = jnp.zeros((B, W, P), jnp.int32)
-    book0 = jnp.zeros((B,), dtype)
+    if carry_in is None:
+        hyp0 = jnp.full((B, W, P), big, dtype)
+        bkp0 = jnp.zeros((B, W, P), jnp.int32)
+        book0 = jnp.zeros((B,), dtype)
+    else:
+        hyp0, bkp0, book0 = carry_in
+    if t0 is None:
+        t0 = jnp.zeros((), jnp.int32)
+    zero_bkp = jnp.zeros((B, W, P), jnp.int32)
 
     inf_col = jnp.full((B, W, 1), big, dtype)
 
@@ -135,8 +146,8 @@ def _decode_scan(am: jnp.ndarray, feat_len: jnp.ndarray,
         c1 = jnp.concatenate([inf_col, hyp[:, :, :-1] + tdpw[None, :, 1:, 1]], axis=2)
         c2 = jnp.concatenate([inf_col, inf_col,
                               hyp[:, :, :-2] + tdpw[None, :, 2:, 2]], axis=2)
-        b0 = jnp.concatenate([bkp0[:, :, :1], bkp[:, :, :-1]], axis=2)
-        b00 = jnp.concatenate([bkp0[:, :, :2], bkp[:, :, :-2]], axis=2)
+        b0 = jnp.concatenate([zero_bkp[:, :, :1], bkp[:, :, :-1]], axis=2)
+        b00 = jnp.concatenate([zero_bkp[:, :, :2], bkp[:, :, :-2]], axis=2)
         # larger jumps win ties (first writer in ascending predecessor scan)
         within, wbkp = c2, b00
         for c, b in ((c1, b0), (c0, bkp)):
@@ -187,17 +198,22 @@ def _decode_scan(am: jnp.ndarray, feat_len: jnp.ndarray,
         book_out = jnp.where(alive[:, 0, 0], book_score, book_prev)
         return (hyp_out, bkp_out, book_out), (book_score, book_word, book_bkp)
 
-    (_, _, _), (scores, words, bkps) = jax.lax.scan(
+    carry_out, (scores, words, bkps) = jax.lax.scan(
         step, (hyp0, bkp0, book0),
-        (jnp.moveaxis(am, 1, 0), jnp.arange(1, T + 1)))
-    return scores, words, bkps
+        (jnp.moveaxis(am, 1, 0), t0 + jnp.arange(1, T + 1)))
+    return carry_out, (scores, words, bkps)
+
+
+#: time-chunk length: ONE compiled (B, CHUNK) scan shape serves utterances
+#: of any length by streaming chunks through the carried lattice state
+DECODE_CHUNK = 320
 
 
 def decode_batch(pack: gmm_mod.ScorePack, feats: np.ndarray, feat_len: np.ndarray,
                  tables: DecoderTables, am_threshold: float, silence_idx: int,
                  prune: bool = True, dtype=jnp.float32,
                  am: Optional[jnp.ndarray] = None,
-                 ) -> List[List[int]]:
+                 chunk: int = DECODE_CHUNK) -> List[List[int]]:
     """Decode a padded batch → word sequences (silence removed).
 
     feats f32 [B, T, dim]; feat_len int [B]. `am` may be passed to reuse
@@ -208,14 +224,28 @@ def decode_batch(pack: gmm_mod.ScorePack, feats: np.ndarray, feat_len: np.ndarra
         flat = jnp.asarray(feats.reshape(B * T, feats.shape[2]))
         am = gmm_mod.am_scores(pack, flat).reshape(B, T, pack.num_mixtures)
     am = am.astype(dtype)
-    scores, words, bkps = _decode_scan(
-        am, jnp.asarray(feat_len, jnp.int32),
-        jnp.asarray(tables.state_table), jnp.asarray(tables.last_pos),
-        jnp.asarray(tables.word_len), jnp.asarray(tables.first_state),
-        jnp.asarray(tables.tdp_within), jnp.asarray(tables.entry_pen),
-        jnp.asarray(am_threshold, dtype), prune=prune)
-    words_np = np.asarray(words)   # [T, B]
-    bkps_np = np.asarray(bkps)     # [T, B]
+    n_chunks = -(-T // chunk)
+    if T < n_chunks * chunk:
+        am = jnp.pad(am, ((0, 0), (0, n_chunks * chunk - T), (0, 0)))
+
+    lens = jnp.asarray(feat_len, jnp.int32)
+    args = (jnp.asarray(tables.state_table), jnp.asarray(tables.last_pos),
+            jnp.asarray(tables.word_len), jnp.asarray(tables.first_state),
+            jnp.asarray(tables.tdp_within), jnp.asarray(tables.entry_pen),
+            jnp.asarray(am_threshold, dtype))
+    W, P = tables.state_table.shape
+    carry = (jnp.full((B, W, P), BIG, dtype), jnp.zeros((B, W, P), jnp.int32),
+             jnp.zeros((B,), dtype))
+    out_s, out_w, out_b = [], [], []
+    for ci in range(n_chunks):
+        carry, (s, w, b) = _decode_scan(
+            am[:, ci * chunk:(ci + 1) * chunk], lens, *args, prune=prune,
+            carry_in=carry, t0=jnp.asarray(ci * chunk, jnp.int32))
+        out_s.append(s)
+        out_w.append(w)
+        out_b.append(b)
+    words_np = np.concatenate([np.asarray(w) for w in out_w], axis=0)  # [T, B]
+    bkps_np = np.concatenate([np.asarray(b) for b in out_b], axis=0)
 
     out: List[List[int]] = []
     for b in range(B):
@@ -264,14 +294,17 @@ class Recognizer:
                             self.am_threshold, self.lexicon.silence_idx,
                             prune=self.pruned_search, dtype=self.dtype)
 
-    @staticmethod
-    def _bucket(length: int) -> int:
+    #: padding buckets (multiples of DECODE_CHUNK so the single compiled
+    #: chunk scan serves every batch) — instances may override
+    buckets = (320, 640, 960, 1280, 1600)
+
+    def _bucket(self, length: int) -> int:
         """Pad sequence lengths to a small fixed set so at most a handful of
         (B, T) shapes ever compile."""
-        for b in (128, 256, 384, 512, 768, 1024):
+        for b in self.buckets:
             if length <= b:
                 return b
-        return -(-length // 512) * 512
+        return -(-length // self.buckets[-1]) * self.buckets[-1]
 
     def warmup(self, corpus, batch_size: int = 512) -> None:
         """Compile every (batch_size, bucket) shape the corpus will use."""

@@ -25,6 +25,8 @@ def main():
     ap.add_argument("--method", default="mxu", choices=["pallas", "mxu"])
     ap.add_argument("--dtype", default="f32", choices=["f32", "f64"])
     ap.add_argument("--batch-size", type=int, default=512)
+    ap.add_argument("--buckets", default="",
+                    help="comma-separated T buckets (fewer = fewer compiles)")
     args = ap.parse_args()
 
     import jax
@@ -62,6 +64,8 @@ def main():
                             "word-penalty": cfgm["word_penalty"],
                             "pruned-search": True, "max-recognition-runs": 10**9})
     rec = Recognizer(config, lex, tdp, pack, dtype=dtype)
+    if args.buckets:
+        rec.buckets = tuple(int(b) for b in args.buckets.split(","))
     rec.warmup(corpus, batch_size=args.batch_size)
     t0 = time.perf_counter()
     res = rec.recognize_corpus(corpus, batch_size=args.batch_size)
