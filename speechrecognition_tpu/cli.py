@@ -128,6 +128,27 @@ def main(argv=None) -> int:
             f.write(" ".join(str(p) for p in prior) + " ")
         return 0
 
+    if action == "corpus-statistics":
+        # Tools/CorpusStatistics parity: segment/frame/word counts
+        corpus = Corpus.read(description, feature_path, sig_cfg,
+                             normalization_path=normalization_path or None)
+        n_words = sum(len(o) for o in corpus.orths)
+        hours = corpus.total_audio_seconds / 3600.0
+        lens = corpus.lengths
+        print(f"segments:       {corpus.num_segments}")
+        print(f"frames:         {corpus.total_frames}")
+        print(f"audio:          {corpus.total_audio_seconds:.1f} s ({hours:.2f} h)")
+        print(f"running words:  {n_words}")
+        print(f"frames/segment: min {int(lens.min())} median "
+              f"{int(np.median(lens))} max {int(lens.max())}")
+        counts = np.bincount(
+            np.concatenate([np.asarray(o, dtype=np.int64) for o in corpus.orths])
+            if n_words else np.zeros(0, np.int64),
+            minlength=lexicon.num_words)
+        for w in range(lexicon.num_words):
+            print(f"  {lexicon.orth[w]:>10s}: {int(counts[w])}")
+        return 0
+
     print(f"Error: unknown action {action}", file=sys.stderr)
     return 1
 
