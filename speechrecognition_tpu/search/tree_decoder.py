@@ -54,6 +54,8 @@ class TreeTables:
     exit_penalty: np.ndarray  # f64 [N] word penalty charged at the word end
     num_nodes: int
     num_words: int
+    end_node: Optional[np.ndarray] = None  # int32 [W] end node per word
+                                           # (homophones share a node)
 
     @staticmethod
     def build(lexicon: Lexicon, tdp_model: TdpModel, word_penalty,
@@ -71,6 +73,7 @@ class TreeTables:
         state = [0]
         depth = [0]
         end_word = [-1]
+        end_node = np.zeros(W, np.int32)
         for w in range(W):
             seq = lexicon.get_automaton_for_word(w).states
             node = 0
@@ -85,6 +88,7 @@ class TreeTables:
                     depth.append(depth[node] + 1)
                     end_word.append(-1)
                 node = nxt
+            end_node[w] = node
             if end_word[node] != -1:
                 # homophone: keep the smaller word index (reference word-end
                 # ties resolve to the smallest word)
@@ -114,7 +118,7 @@ class TreeTables:
         return TreeTables(state=state_a, parent=parent_a, grand=grand_a,
                           depth=depth_a, tdp=tdp, loop_allowed=loop_allowed,
                           end_word=end_a, exit_penalty=exit_pen,
-                          num_nodes=N, num_words=W)
+                          num_nodes=N, num_words=W, end_node=end_node)
 
 
 @partial(jax.jit, static_argnames=("prune",))

@@ -1,0 +1,282 @@
+"""Word-conditioned tree search with bigram LM contexts and LM lookahead.
+
+TPU-native counterpart of the reference's production decoder
+(rwth-asr-0.5/src/Search/WordConditionedTreeSearch.cc + StateTree.cc +
+LanguageModelLookahead.cc, and the Teaching skeleton
+Teaching/WordConditionedTreeSearch.cc:262-345,590-810): one copy of the
+lexical prefix tree per predecessor-word context, with the bigram LM score
+applied when a word END is reached (word identity is only known at the
+tree leaf), and exact recombination over predecessors into a per-word book.
+
+Dense formulation: hypotheses live in a [B, C, N] tensor (C = W + 1
+contexts: every word plus the virtual sentence start, N = prefix-tree
+nodes).  Per frame, one scan step does
+
+    tree copy c:  0-1-2 max-plus recursion through parent/grand gathers;
+                  word entries into depth-1/2 nodes from book_prev[b, c]
+                  (first state's emission charged for both entry depths —
+                  the reference's expansion quirk, Recognizer.cpp:133-158)
+    word ends:    cand[b, c, w] = hyp[b, c, end_node[w]] + lm_ext[c, w]
+                  book[b, w]    = min_c cand[b, c, w]       (recombination)
+
+which is the reference's bigramRecombination over tree-copy word ends
+(Teaching/WordConditionedTreeSearch.cc:919-956 skeleton; LinearSearch.cc:
+211-436 is the complete semantics), vectorized over batch and contexts.
+
+LM lookahead (Search/LanguageModelLookahead.cc): each tree node n is
+assigned the anticipated LM score  la[c, n] = min over words reachable
+below n of lm_ext[c, w].  The lookahead structure is *compressed* the way
+the reference compresses it: nodes with identical reachable-word sets
+share a lookahead id (nodeId_ mapping), and an optional cutoff depth maps
+deep nodes to their ancestor's id (paramTreeCutoff).  Lookahead scores are
+added only inside the pruning decision (anticipated score vs anticipated
+best), never to the carried path scores — the reference's semantics, which
+keeps the search exact when the beam is wide.
+
+Unlike search/ngram_decoder.py (LinearSearch: LM charged at word ENTRY,
+per-word copies of a linear lexicon), this decoder shares prefixes across
+words, so in-flight scores differ by the LM amount until the leaf; on a
+lexicon without whole-word prefixes the tracebacks are identical — a
+tested invariant.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+from typing import List, Optional
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from ..models import gmm as gmm_mod
+from ..tdp import TdpModel
+from .decoder import BIG
+from .tree_decoder import TreeTables
+
+
+def extend_lm(lm: np.ndarray, lm_start: np.ndarray) -> np.ndarray:
+    """[W, W] bigram matrix + [W] start row → [W+1, W] context-extended
+    matrix (last row = virtual sentence-start context)."""
+    return np.concatenate([np.asarray(lm, np.float64),
+                           np.asarray(lm_start, np.float64)[None, :]], axis=0)
+
+
+def build_entry_tables(tables: TreeTables, tdp_model: TdpModel):
+    """Word-entry tables: entries reach depth-1 nodes (jump 1) and depth-2
+    nodes (jump 2).  Both charge the *first* state's emission and
+    tdp(first_state, jump) — Recognizer.cpp:135-151 semantics (the
+    expansion scores `am_cache[first_state]` for init_state 0 and 1)."""
+    N = tables.num_nodes
+    entry_state = tables.state.copy()
+    d2 = tables.depth == 2
+    entry_state[d2] = tables.state[tables.parent[d2]]
+    entry_pen = np.full(N, float(BIG))
+    for n in range(N):
+        d = int(tables.depth[n])
+        if d == 1:
+            entry_pen[n] = tdp_model.score(int(tables.state[n]), 1)
+        elif d == 2:
+            entry_pen[n] = tdp_model.score(int(tables.state[tables.parent[n]]), 2)
+    return entry_state.astype(np.int32), entry_pen
+
+
+@dataclass
+class LookaheadTables:
+    """Compressed LM-lookahead structure (Search/LanguageModelLookahead.cc:
+    buildCompressesLookaheadStructure + computeScores)."""
+
+    node_id: np.ndarray      # int32 [N] tree node → lookahead id
+    word_sets: np.ndarray    # bool [U, W] reachable words per lookahead id
+    num_tables: int          # U (compressed entries, reference nEntries_)
+
+    @staticmethod
+    def build(tables: TreeTables, cutoff_depth: Optional[int] = None,
+              ) -> "LookaheadTables":
+        N, W = tables.num_nodes, tables.num_words
+        parent = tables.parent
+        reach = np.zeros((N, W), bool)
+        for w in range(W):
+            n = int(tables.end_node[w])
+            while n != 0:
+                reach[n, w] = True
+                n = int(parent[n])
+        reach[0, :] = True   # root anticipates every word
+
+        if cutoff_depth is not None:
+            # nodes deeper than the cutoff share their ancestor's table
+            anc = np.arange(N)
+            depth = tables.depth.copy()
+            while (depth > cutoff_depth).any():
+                deep = depth > cutoff_depth
+                anc[deep] = parent[anc[deep]]
+                depth[deep] -= 1
+            reach = reach[anc]
+
+        word_sets, node_id = np.unique(reach, axis=0, return_inverse=True)
+        return LookaheadTables(node_id=node_id.astype(np.int32),
+                               word_sets=word_sets,
+                               num_tables=word_sets.shape[0])
+
+    def scores(self, lm_ext: np.ndarray) -> np.ndarray:
+        """Per-context lookahead scores la[c, n] = min_{w below n} lm_ext[c, w]
+        (the reference computes one ContextLookahead table per LM history;
+        here all C contexts are materialized at once for the dense scan)."""
+        masked = np.where(self.word_sets[None, :, :],
+                          np.asarray(lm_ext, np.float64)[:, None, :], BIG)
+        la_u = masked.min(axis=2)                 # [C, U]
+        return la_u[:, self.node_id]              # [C, N]
+
+
+@partial(jax.jit, static_argnames=("prune", "use_lookahead"))
+def _wcts_scan(am: jnp.ndarray, feat_len: jnp.ndarray,
+               state: jnp.ndarray, parent: jnp.ndarray, grand: jnp.ndarray,
+               tdp: jnp.ndarray, loop_allowed: jnp.ndarray,
+               entry_state: jnp.ndarray, entry_pen: jnp.ndarray,
+               end_node: jnp.ndarray, lm_ext: jnp.ndarray, la: jnp.ndarray,
+               am_threshold: jnp.ndarray, prune: bool = True,
+               use_lookahead: bool = False):
+    """am [B, T, S]; lm_ext [C, W] (last context row = sentence start);
+    la [C, N] lookahead scores (ignored unless use_lookahead).
+    Returns per-frame (book [T,B,W], bkp [T,B,W], pred [T,B,W]);
+    pred == C−1 marks entries from the virtual start."""
+    B, T, S = am.shape
+    dtype = am.dtype
+    C, W = lm_ext.shape
+    N = state.shape[0]
+    big = jnp.asarray(BIG, dtype)
+    tdp = tdp.astype(dtype)
+    entry_pen = entry_pen.astype(dtype)
+    lm_ext = lm_ext.astype(dtype)
+    la = la.astype(dtype)
+
+    hyp0 = jnp.full((B, C, N), big, dtype)
+    bkp0 = jnp.zeros((B, C, N), jnp.int32)
+    book0 = jnp.full((B, W), big, dtype)
+
+    def step(carry, inputs):
+        hyp, bkp, book_prev = carry
+        am_t, t = inputs
+
+        # entry scores per context: ended words carry their book; the
+        # virtual-start context is open only at the first frame
+        start_col = jnp.where(t == 1, jnp.zeros((B, 1), dtype),
+                              jnp.full((B, 1), big, dtype))
+        ext = jnp.concatenate([book_prev, start_col], axis=1)   # [B, C]
+
+        # within-tree 0-1-2 recursion (node 0 = root stays at big, so
+        # parent/grand gathers from the root contribute nothing here)
+        loop = jnp.where(loop_allowed[None, None, :],
+                         hyp + tdp[None, None, :, 0], big)
+        fwd = hyp[:, :, parent] + tdp[None, None, :, 1]
+        skip = hyp[:, :, grand] + tdp[None, None, :, 2]
+        # larger jumps win ties (word-loop decoder semantics)
+        within = skip
+        wbkp = bkp[:, :, grand]
+        for c, b in ((fwd, bkp[:, :, parent]), (loop, bkp)):
+            take = c < within
+            within = jnp.where(take, c, within)
+            wbkp = jnp.where(take, b, wbkp)
+        within = within + am_t[:, None, state]
+
+        # word entries into depth-1/2 nodes; entries win ties
+        entry = (ext[:, :, None] + entry_pen[None, None, :]
+                 + am_t[:, None, entry_state])
+        take_entry = entry <= within
+        new = jnp.where(take_entry, entry, within)
+        nbkp = jnp.where(take_entry, (t - 1).astype(jnp.int32), wbkp)
+        new = new.at[:, :, 0].set(big)
+        new = jnp.minimum(new, big)
+
+        # per-frame renormalization + pruning (anticipated scores when
+        # lookahead is on: LanguageModelLookahead semantics)
+        best = new.min(axis=(1, 2), keepdims=True)
+        best = jnp.where(best >= big * 0.5, 0.0, best)
+        new = jnp.where(new >= big * 0.5, big, new - best)
+        if prune:
+            if use_lookahead:
+                ant = jnp.where(new >= big * 0.5, big, new + la[None, :, :])
+                ant_best = ant.min(axis=(1, 2), keepdims=True)
+                ant_best = jnp.where(ant_best >= big * 0.5, 0.0, ant_best)
+                new = jnp.where(ant - ant_best > am_threshold, big, new)
+            else:
+                new = jnp.where(new > am_threshold, big, new)
+
+        # word-end recombination over predecessor contexts
+        ends = new[:, :, end_node]                       # [B, C, W]
+        cand = jnp.where(ends >= big * 0.5, big,
+                         ends + lm_ext[None, :, :])      # [B, C, W]
+        pred_new = jnp.argmin(cand, axis=1).astype(jnp.int32)
+        book_new = jnp.take_along_axis(cand, pred_new[:, None, :], axis=1)[:, 0]
+        ends_bkp = nbkp[:, :, end_node]
+        book_bkp = jnp.take_along_axis(ends_bkp, pred_new[:, None, :],
+                                       axis=1)[:, 0]
+        book_new = jnp.where(book_new >= big * 0.5, big, book_new)
+
+        alive = (t <= feat_len)
+        hyp_out = jnp.where(alive[:, None, None], new, hyp)
+        bkp_out = jnp.where(alive[:, None, None], nbkp, bkp)
+        book_out = jnp.where(alive[:, None], book_new, book_prev)
+        return ((hyp_out, bkp_out, book_out),
+                (book_new, book_bkp, pred_new))
+
+    _, (books, bkps, preds) = jax.lax.scan(
+        step, (hyp0, bkp0, book0),
+        (jnp.moveaxis(am, 1, 0), jnp.arange(1, T + 1)))
+    return books, bkps, preds
+
+
+def decode_batch_wcts(pack: gmm_mod.ScorePack, feats: np.ndarray,
+                      feat_len: np.ndarray, tables: TreeTables,
+                      tdp_model: TdpModel,
+                      lm_matrix: np.ndarray, lm_start: np.ndarray,
+                      am_threshold: float, silence_idx: int,
+                      prune: bool = True,
+                      lookahead: Optional[LookaheadTables] = None,
+                      dtype=jnp.float32) -> List[List[int]]:
+    """Word-conditioned tree decode → word sequences (silence removed).
+
+    Build `tables` with word_penalty=0 — all word costs live in
+    lm_matrix/lm_start (−log p; fold silence exemptions and word penalties
+    there, exactly as for search/ngram_decoder.decode_batch_bigram)."""
+    B, T, dim = feats.shape
+    lm_ext = extend_lm(lm_matrix, lm_start)
+    C = lm_ext.shape[0]
+    entry_state, entry_pen = build_entry_tables(tables, tdp_model)
+    if lookahead is not None:
+        la = lookahead.scores(lm_ext)
+    else:
+        la = np.zeros((C, tables.num_nodes))
+    flat = jnp.asarray(feats.reshape(B * T, dim))
+    am = gmm_mod.am_scores(pack, flat).reshape(B, T, pack.num_mixtures)
+    am = am.astype(dtype)
+    books, bkps, preds = _wcts_scan(
+        am, jnp.asarray(feat_len, jnp.int32),
+        jnp.asarray(tables.state), jnp.asarray(tables.parent),
+        jnp.asarray(tables.grand),
+        jnp.asarray(tables.tdp), jnp.asarray(tables.loop_allowed),
+        jnp.asarray(entry_state), jnp.asarray(entry_pen),
+        jnp.asarray(tables.end_node), jnp.asarray(lm_ext), jnp.asarray(la),
+        jnp.asarray(am_threshold, dtype), prune=prune,
+        use_lookahead=lookahead is not None)
+    books_np = np.asarray(books)   # [T, B, W]
+    bkps_np = np.asarray(bkps)
+    preds_np = np.asarray(preds)
+
+    out: List[List[int]] = []
+    for b in range(B):
+        t = int(feat_len[b])
+        if t == 0 or books_np[t - 1, b].min() >= BIG * 0.5:
+            out.append([])
+            continue
+        w = int(np.argmin(books_np[t - 1, b]))
+        seq: List[int] = []
+        while t > 0 and w < C - 1:
+            if w != silence_idx:
+                seq.append(w)
+            t, w = int(bkps_np[t - 1, b, w]), int(preds_np[t - 1, b, w])
+        seq.reverse()
+        out.append(seq)
+    return out

@@ -126,17 +126,13 @@ def test_an4_train_decode_smoke(an4):
     assert wer < 40.0, f"in-domain AN4 WER {wer:.1f}%"
 
 
-@needs_an4
-def test_an4_arpa_bigram_decode(an4):
-    """Full LVCSR stack: Bliss lexicon + CART tying + LDA features + ARPA
-    bigram LM + word-conditioned decoder. The LM must not hurt (and
-    usually helps) vs the plain word-penalty decode."""
+@pytest.fixture(scope="module")
+def an4_arpa_setup(an4):
+    """Shared LVCSR assembly: features → tied-state GMM (self-trained) →
+    ARPA bigram matrices over the search lexicon."""
     from speechrecognition_tpu.corpus import Corpus
     from speechrecognition_tpu.lm.arpa import ArpaLM
     from speechrecognition_tpu.models.gmm import MixtureModel, VarianceModel
-    from speechrecognition_tpu.search.decoder import DecoderTables
-    from speechrecognition_tpu.search.edit_distance import edit_distance
-    from speechrecognition_tpu.search.ngram_decoder import decode_batch_bigram
     from speechrecognition_tpu.tdp import TdpModel
     from speechrecognition_tpu.train.em import Trainer, TrainerConfig
 
@@ -184,15 +180,69 @@ def test_an4_arpa_bigram_decode(an4):
             lm[v, w] = scale * arpa.score(lm_ids[w], ctx) + 10.0
     lm[:, sil] = 0.0
     lm_start[sil] = 0.0
+    return lex, tdp, pack, corpus, word_seqs, lm, lm_start
 
+
+def _wer(word_seqs, hyps, idxs):
+    from speechrecognition_tpu.search.edit_distance import edit_distance
+    errors = total = 0
+    for s in idxs:
+        ed = edit_distance(word_seqs[s], hyps[s - idxs[0]])
+        errors += ed.total_count
+        total += len(word_seqs[s])
+    return 100.0 * errors / total
+
+
+@needs_an4
+def test_an4_arpa_bigram_decode(an4_arpa_setup):
+    """Full LVCSR stack: Bliss lexicon + CART tying + LDA features + ARPA
+    bigram LM + word-conditioned decoder. The LM must not hurt (and
+    usually helps) vs the plain word-penalty decode."""
+    from speechrecognition_tpu.search.decoder import DecoderTables
+    from speechrecognition_tpu.search.ngram_decoder import decode_batch_bigram
+
+    lex, tdp, pack, corpus, word_seqs, lm, lm_start = an4_arpa_setup
     tables0 = DecoderTables.build(lex, tdp, word_penalty=0.0)
     feats, lens = corpus.padded_batch(list(range(130)))
     hyps = decode_batch_bigram(pack, feats, lens, tables0, lm, lm_start,
-                               500.0, sil, dtype=jnp.float64)
-    errors = total = 0
-    for s in range(130):
-        ed = edit_distance(word_seqs[s], hyps[s])
-        errors += ed.total_count
-        total += len(word_seqs[s])
-    wer = 100.0 * errors / total
+                               500.0, lex.silence_idx, dtype=jnp.float64)
+    wer = _wer(word_seqs, hyps, list(range(130)))
     assert wer < 40.0, f"AN4 ARPA-bigram WER {wer:.1f}%"
+
+
+@needs_an4
+def test_an4_wcts_lookahead_decode(an4_arpa_setup):
+    """Word-conditioned tree search with compressed LM lookahead on the
+    real AN4 prefix tree (shared triphone-state prefixes across 100+
+    words). Must perform on par with the linear bigram search — the tree
+    additionally allows continuation through word-end nodes, so exact
+    transcript equality is not guaranteed, but WER must not degrade."""
+    from speechrecognition_tpu.search.decoder import DecoderTables
+    from speechrecognition_tpu.search.ngram_decoder import decode_batch_bigram
+    from speechrecognition_tpu.search.tree_decoder import TreeTables
+    from speechrecognition_tpu.search.wcts import (LookaheadTables,
+                                                   decode_batch_wcts)
+
+    lex, tdp, pack, corpus, word_seqs, lm, lm_start = an4_arpa_setup
+    tree_tables = TreeTables.build(lex, tdp, word_penalty=0.0)
+    # real prefix sharing: fewer nodes than the sum of automaton lengths
+    total_states = sum(lex.get_automaton_for_word(w).num_states
+                      for w in range(lex.num_words))
+    assert tree_tables.num_nodes < total_states + 1
+
+    la = LookaheadTables.build(tree_tables)
+    assert 1 < la.num_tables <= tree_tables.num_nodes
+
+    n = 32
+    idxs = list(range(n))
+    feats, lens = corpus.padded_batch(idxs)
+    hyps_tree = decode_batch_wcts(pack, feats, lens, tree_tables, tdp,
+                                  lm, lm_start, 500.0, lex.silence_idx,
+                                  lookahead=la, dtype=jnp.float64)
+    lin_tables = DecoderTables.build(lex, tdp, word_penalty=0.0)
+    hyps_lin = decode_batch_bigram(pack, feats, lens, lin_tables, lm,
+                                   lm_start, 500.0, lex.silence_idx,
+                                   dtype=jnp.float64)
+    wer_tree = _wer(word_seqs, hyps_tree, idxs)
+    wer_lin = _wer(word_seqs, hyps_lin, idxs)
+    assert wer_tree <= wer_lin + 2.0, (wer_tree, wer_lin)
