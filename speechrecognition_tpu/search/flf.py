@@ -1,0 +1,225 @@
+"""Lattice framework tier: HTK SLF IO, lattice archives, confusion
+networks, system combination.
+
+TPU-native counterpart of the reference's lattice tooling:
+  * HTK SLF read/write — Lattice/HtkReader.cc / HtkWriter.cc
+  * lattice archives    — Lattice/Archive.cc (ArchiveReader/Writer)
+  * confusion networks  — Flf/CenterFrameConfusionNetworkBuilder.cc
+  * system combination  — Flf union/CN combination pipeline
+                          (Flf/Combination.cc, ROVER-style voting)
+
+Lattice surgery is host-side runtime work here just as it is batch
+tooling in the reference (the Flf processor runs offline over archives);
+the per-arc posterior math reuses WordLattice.forward_backward.
+"""
+
+from __future__ import annotations
+
+import gzip
+import math
+import os
+from dataclasses import dataclass, field
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from .lattice import Arc, WordLattice
+
+
+# -- HTK SLF ------------------------------------------------------------------
+
+def write_slf(path: str, lat: WordLattice, vocab: Sequence[str],
+              utterance: str = "", frame_duration: float = 0.01,
+              lm_scale: float = 1.0, word_penalty: float = 0.0) -> None:
+    """Write a word lattice as HTK Standard Lattice Format (the format
+    Lattice/HtkWriter.cc emits).  Nodes are the distinct boundary frames;
+    the combined arc score goes to the acoustic field `a=` (scores here
+    are −log, HTK stores log-likelihoods, hence the sign flip)."""
+    frames = sorted({0, lat.num_frames}
+                    | {a.start for a in lat.arcs} | {a.end for a in lat.arcs})
+    node_of = {t: i for i, t in enumerate(frames)}
+    opener = gzip.open if path.endswith(".gz") else open
+    with opener(path, "wt") as f:
+        f.write("VERSION=1.0\n")
+        if utterance:
+            f.write(f"UTTERANCE={utterance}\n")
+        f.write(f"lmscale={lm_scale:.2f} wdpenalty={word_penalty:.2f}\n")
+        f.write(f"N={len(frames)}\tL={len(lat.arcs)}\n")
+        for t in frames:
+            f.write(f"I={node_of[t]}\tt={t * frame_duration:.2f}\n")
+        for j, a in enumerate(lat.arcs):
+            w = vocab[a.word] if 0 <= a.word < len(vocab) else f"w{a.word}"
+            f.write(f"J={j}\tS={node_of[a.start]}\tE={node_of[a.end]}\t"
+                    f"W={w}\ta={-a.score:.6f}\tl=0.000000\n")
+
+
+def read_slf(path: str, vocab: Sequence[str],
+             frame_duration: float = 0.01, silence: int = 0) -> WordLattice:
+    """Read an HTK SLF file back into a WordLattice (HtkReader.cc)."""
+    word_idx = {w: i for i, w in enumerate(vocab)}
+    node_time: Dict[int, float] = {}
+    arcs: List[Arc] = []
+    opener = gzip.open if path.endswith(".gz") else open
+    with opener(path, "rt") as f:
+        for line in f:
+            line = line.strip()
+            if not line or line.startswith("#"):
+                continue
+            fields = dict(tok.split("=", 1) for tok in line.split()
+                          if "=" in tok)
+            if "I" in fields:
+                node_time[int(fields["I"])] = float(fields.get("t", 0.0))
+            elif "J" in fields:
+                start = int(round(node_time[int(fields["S"])] / frame_duration))
+                end = int(round(node_time[int(fields["E"])] / frame_duration))
+                score = -float(fields.get("a", 0.0)) - float(fields.get("l", 0.0))
+                w = fields["W"]
+                arcs.append(Arc(start=start, end=end,
+                                word=word_idx.get(w, -1), score=score))
+    num_frames = int(round(max(node_time.values()) / frame_duration)) \
+        if node_time else 0
+    return WordLattice(num_frames=num_frames, arcs=arcs, silence=silence)
+
+
+# -- lattice archives ----------------------------------------------------------
+
+class LatticeArchive:
+    """Directory archive of SLF lattices with an index file — the role of
+    Lattice/Archive.cc's ArchiveReader/ArchiveWriter (one lattice per
+    corpus segment, addressed by full segment name)."""
+
+    INDEX = "archive.index"
+
+    def __init__(self, path: str, vocab: Sequence[str],
+                 frame_duration: float = 0.01):
+        self.path = path
+        self.vocab = list(vocab)
+        self.frame_duration = frame_duration
+        os.makedirs(path, exist_ok=True)
+
+    def _file(self, name: str) -> str:
+        return os.path.join(self.path, name.replace("/", "_") + ".slf.gz")
+
+    def write(self, name: str, lat: WordLattice) -> None:
+        write_slf(self._file(name), lat, self.vocab, utterance=name,
+                  frame_duration=self.frame_duration)
+        with open(os.path.join(self.path, self.INDEX), "a") as f:
+            f.write(name + "\n")
+
+    def read(self, name: str, silence: int = 0) -> WordLattice:
+        return read_slf(self._file(name), self.vocab,
+                        frame_duration=self.frame_duration, silence=silence)
+
+    def list(self) -> List[str]:
+        idx = os.path.join(self.path, self.INDEX)
+        if not os.path.exists(idx):
+            return []
+        with open(idx) as f:
+            return [l.strip() for l in f if l.strip()]
+
+
+# -- confusion networks ---------------------------------------------------------
+
+@dataclass
+class CnSlot:
+    start: int
+    end: int
+    probs: Dict[int, float] = field(default_factory=dict)  # word → posterior
+
+    @property
+    def center(self) -> float:
+        return 0.5 * (self.start + self.end)
+
+    def eps_prob(self) -> float:
+        return max(0.0, 1.0 - sum(self.probs.values()))
+
+    def best(self) -> Tuple[int, float]:
+        """(word, prob); word −1 = epsilon (deletion wins)."""
+        w, p = max(self.probs.items(), key=lambda kv: kv[1])
+        eps = self.eps_prob()
+        return (-1, eps) if eps > p else (w, p)
+
+
+def confusion_network(lat: WordLattice,
+                      silence_as_eps: bool = True) -> List[CnSlot]:
+    """Center-frame confusion network construction
+    (Flf/CenterFrameConfusionNetworkBuilder.cc): repeatedly take the
+    unassigned arc with the highest posterior, open a slot at its center
+    frame, and assign every unassigned arc overlapping that frame to the
+    slot.  Slots are ordered by center time; silence arcs contribute to
+    the slot's epsilon mass."""
+    _, post = lat.forward_backward()
+    arcs = [a for a in lat.arcs if np.isfinite(post[a])]
+    prob = {a: math.exp(-post[a]) for a in arcs}
+    unassigned = set(range(len(arcs)))
+    slots: List[CnSlot] = []
+    order = sorted(unassigned, key=lambda i: (-prob[arcs[i]], arcs[i].start))
+    for i in order:
+        if i not in unassigned:
+            continue
+        pivot = arcs[i]
+        center = 0.5 * (pivot.start + pivot.end)
+        slot = CnSlot(start=pivot.start, end=pivot.end)
+        for j in sorted(unassigned):
+            a = arcs[j]
+            if a.start < center < a.end or (a.start == a.end == center):
+                word = a.word
+                if silence_as_eps and word == lat.silence:
+                    continue  # silence mass stays epsilon
+                slot.probs[word] = slot.probs.get(word, 0.0) + prob[a]
+                unassigned.discard(j)
+        unassigned.discard(i)
+        if slot.probs:
+            slots.append(slot)
+    slots.sort(key=lambda s: (s.center, s.start))
+    return slots
+
+
+def cn_decode(slots: Sequence[CnSlot]) -> List[int]:
+    """Consensus decoding: per-slot argmax posterior, epsilon slots
+    dropped (Flf CN decoder semantics)."""
+    out = []
+    for s in slots:
+        w, _p = s.best()
+        if w >= 0:
+            out.append(w)
+    return out
+
+
+def combine_confusion_networks(systems: Sequence[Sequence[CnSlot]],
+                               weights: Optional[Sequence[float]] = None,
+                               ) -> List[CnSlot]:
+    """ROVER-style system combination over confusion networks
+    (Flf combination pipeline): greedily align slots across systems by
+    center-time overlap, then sum system-weighted word posteriors."""
+    if weights is None:
+        weights = [1.0 / max(1, len(systems))] * len(systems)
+    pool: List[Tuple[float, int, CnSlot]] = []
+    for sys_i, slots in enumerate(systems):
+        for s in slots:
+            pool.append((s.center, sys_i, s))
+    pool.sort(key=lambda x: (x[0], x[1]))
+
+    combined: List[CnSlot] = []
+    used_by: List[set] = []
+    for center, sys_i, s in pool:
+        target = None
+        for k, c in enumerate(combined):
+            # one slot per system per combined slot; require overlap
+            if sys_i in used_by[k]:
+                continue
+            if s.start < c.end and c.start < s.end:
+                target = k
+                break
+        if target is None:
+            combined.append(CnSlot(start=s.start, end=s.end))
+            used_by.append(set())
+            target = len(combined) - 1
+        c = combined[target]
+        c.start = min(c.start, s.start)
+        c.end = max(c.end, s.end)
+        used_by[target].add(sys_i)
+        for w, p in s.probs.items():
+            c.probs[w] = c.probs.get(w, 0.0) + weights[sys_i] * p
+    combined.sort(key=lambda s: (s.center, s.start))
+    return combined

@@ -1,0 +1,157 @@
+"""Flf tier tests: SLF round-trip, lattice archives, confusion networks,
+system combination — plus an end-to-end CN consensus check on real demo
+lattices from the decoder."""
+
+import math
+
+import numpy as np
+import pytest
+
+from speechrecognition_tpu.search.flf import (CnSlot, LatticeArchive,
+                                              cn_decode,
+                                              combine_confusion_networks,
+                                              confusion_network, read_slf,
+                                              write_slf)
+from speechrecognition_tpu.search.lattice import Arc, WordLattice
+
+VOCAB = ["[sil]", "eins", "zwei", "drei", "vier"]
+
+
+def toy_lattice():
+    # two competing words in the middle, shared endpoints
+    arcs = [Arc(0, 4, 1, 1.0),
+            Arc(4, 8, 2, 0.5), Arc(4, 8, 3, 0.9),
+            Arc(8, 10, 4, 0.2)]
+    return WordLattice(num_frames=10, arcs=arcs, silence=0)
+
+
+def test_slf_roundtrip(tmp_path):
+    lat = toy_lattice()
+    path = str(tmp_path / "l.slf")
+    write_slf(path, lat, VOCAB, utterance="utt1")
+    back = read_slf(path, VOCAB)
+    assert back.num_frames == lat.num_frames
+    assert len(back.arcs) == len(lat.arcs)
+    orig = {(a.start, a.end, a.word): a.score for a in lat.arcs}
+    for a in back.arcs:
+        assert (a.start, a.end, a.word) in orig
+        assert a.score == pytest.approx(orig[(a.start, a.end, a.word)],
+                                        abs=1e-5)
+    # best path must survive the round trip
+    w0, s0 = lat.best_path()
+    w1, s1 = back.best_path()
+    assert w0 == w1 and s0 == pytest.approx(s1, abs=1e-4)
+
+
+def test_slf_gzip(tmp_path):
+    lat = toy_lattice()
+    path = str(tmp_path / "l.slf.gz")
+    write_slf(path, lat, VOCAB)
+    back = read_slf(path, VOCAB)
+    assert len(back.arcs) == len(lat.arcs)
+
+
+def test_lattice_archive(tmp_path):
+    arch = LatticeArchive(str(tmp_path / "arch"), VOCAB)
+    lat = toy_lattice()
+    arch.write("corpus/rec1/utt1", lat)
+    arch.write("corpus/rec1/utt2", lat)
+    assert arch.list() == ["corpus/rec1/utt1", "corpus/rec1/utt2"]
+    back = arch.read("corpus/rec1/utt1")
+    assert back.best_path()[0] == lat.best_path()[0]
+
+
+def test_confusion_network_posteriors():
+    lat = toy_lattice()
+    slots = confusion_network(lat)
+    # three slots: {eins}, {zwei vs drei}, {vier}
+    assert len(slots) == 3
+    mid = slots[1]
+    assert set(mid.probs) == {2, 3}
+    # posterior ratio must follow the score difference
+    expect = math.exp(-0.5) / (math.exp(-0.5) + math.exp(-0.9))
+    assert mid.probs[2] == pytest.approx(expect, abs=1e-6)
+    assert sum(mid.probs.values()) == pytest.approx(1.0, abs=1e-6)
+    assert cn_decode(slots) == [1, 2, 4]
+
+
+def test_cn_epsilon_slot():
+    # an optional word: path with and without it
+    arcs = [Arc(0, 4, 1, 0.1),
+            Arc(4, 8, 2, 1.2),          # optional word (weak)
+            Arc(4, 8, 0, 0.1),          # silence alternative (strong)
+            Arc(8, 10, 3, 0.1)]
+    lat = WordLattice(num_frames=10, arcs=arcs, silence=0)
+    slots = confusion_network(lat)
+    mid = [s for s in slots if 2 in s.probs][0]
+    assert mid.eps_prob() > mid.probs[2]
+    assert cn_decode(slots) == [1, 3]
+
+
+def test_system_combination_majority_vote():
+    def cn(words):
+        slots = []
+        for k, (w, p) in enumerate(words):
+            s = CnSlot(start=4 * k, end=4 * k + 4)
+            s.probs[w] = p
+            slots.append(s)
+        return slots
+
+    sys1 = cn([(1, 0.9), (2, 0.6), (4, 0.8)])
+    sys2 = cn([(1, 0.8), (3, 0.7), (4, 0.9)])
+    sys3 = cn([(1, 0.7), (3, 0.8), (4, 0.6)])
+    comb = combine_confusion_networks([sys1, sys2, sys3])
+    assert cn_decode(comb) == [1, 3, 4]   # 2-of-3 majority on slot 2
+
+
+def test_cn_consensus_on_demo_lattice(lexicon, fixtures_dir, demo_corpus,
+                                      demo_recognition):
+    """End-to-end: decoder books → lattice → CN consensus must be at
+    least as good as the lattice best path on the demo corpus."""
+    import jax.numpy as jnp
+    from speechrecognition_tpu.io import read_mixture_set
+    from speechrecognition_tpu.models import gmm as gmm_mod
+    from speechrecognition_tpu.models.gmm import MixtureModel, VarianceModel
+    from speechrecognition_tpu.search.decoder import DecoderTables
+    from speechrecognition_tpu.search.edit_distance import edit_distance
+    from speechrecognition_tpu.search.ngram_decoder import _decode_scan_bigram
+    from speechrecognition_tpu.tdp import TdpModel
+
+    raw = read_mixture_set(str(fixtures_dir / "iter-2.mix"), 25)
+    model = MixtureModel.from_raw(raw, VarianceModel.MIXTURE_POOLING,
+                                  max_approx=True)
+    c = demo_recognition["config"]
+    tdp = TdpModel(silence_state=0, loop=c["tdp"][0], forward=c["tdp"][1],
+                   skip=c["tdp"][2])
+    tables = DecoderTables.build(lexicon, tdp, word_penalty=0.0)
+    pack = model.pack(dtype=jnp.float64)
+    W = lexicon.num_words
+    lm = np.full((W, W), c["word_penalty"])
+    lm[:, lexicon.silence_idx] = 0.0
+    lm_start = lm[0].copy()
+
+    n = 10
+    feats, lens = demo_corpus.padded_batch(list(range(n)))
+    B, T, dim = feats.shape
+    am = gmm_mod.am_scores(pack, jnp.asarray(feats.reshape(B * T, dim)))
+    am = am.reshape(B, T, pack.num_mixtures)
+    scores, bkps, preds, offsets = _decode_scan_bigram(
+        am, jnp.asarray(lens, jnp.int32),
+        jnp.asarray(tables.state_table), jnp.asarray(tables.last_pos),
+        jnp.asarray(tables.word_len), jnp.asarray(tables.first_state),
+        jnp.asarray(tables.tdp_within), jnp.asarray(tables.entry_pen),
+        jnp.asarray(lm), jnp.asarray(lm_start),
+        jnp.asarray(c["am_threshold"], jnp.float64))
+    scores, bkps, offsets = map(np.asarray, (scores, bkps, offsets))
+
+    err_best = err_cn = total = 0
+    for b in range(n):
+        lat = WordLattice.from_books(scores[:, b], bkps[:, b], offsets[:, b],
+                                     int(lens[b]), silence=0)
+        ref = demo_corpus.orths[b]
+        hyp_best = [w for w in lat.best_path()[0] if w != 0]
+        hyp_cn = [w for w in cn_decode(confusion_network(lat)) if w != 0]
+        err_best += edit_distance(ref, hyp_best).total_count
+        err_cn += edit_distance(ref, hyp_cn).total_count
+        total += len(ref)
+    assert err_cn <= err_best + max(2, int(0.02 * total)), (err_cn, err_best)
