@@ -1,0 +1,201 @@
+"""Sprint-style command-line tools.
+
+TPU-native counterparts of the reference's Tools/ binaries
+(rwth-asr-0.5/src/Tools/):
+  * archiver          — Tools/Archiver/Archiver.cc (list/extract/show
+                        file archives and feature caches)
+  * corpus-statistics — Tools/CorpusStatistics (segments/words/duration)
+  * feature-statistics— Tools/FeatureStatistics (per-dim mean/σ, frames)
+  * lattice-processor — Tools/LatticeProcessor + Tools/Flf (best, n-best,
+                        posterior prune, confusion-network decode over
+                        lattice archives)
+
+Usage: python -m speechrecognition_tpu.tools.sprint_tools <tool> [args...]
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+from typing import Dict, List, Optional, Sequence
+
+import numpy as np
+
+
+# -- archiver -----------------------------------------------------------------
+
+def archiver(args: Sequence[str], out=sys.stdout) -> int:
+    """archiver <archive> [list | show <key> | extract <key> <file>]"""
+    from ..sprint.archive import FileArchive
+    if not args:
+        print("usage: archiver <archive> [list|show <key>|extract <key> <out>]",
+              file=sys.stderr)
+        return 1
+    arch = FileArchive(args[0])
+    mode = args[1] if len(args) > 1 else "list"
+    if mode == "list":
+        for k in arch.keys():
+            print(k, file=out)
+        return 0
+    if mode == "show":
+        data = arch.read(args[2])
+        out.write(data.decode("utf-8", "replace"))
+        return 0
+    if mode == "extract":
+        with open(args[3], "wb") as f:
+            f.write(arch.read(args[2]))
+        return 0
+    print(f"archiver: unknown mode {mode}", file=sys.stderr)
+    return 1
+
+
+# -- corpus statistics ----------------------------------------------------------
+
+def corpus_statistics(args: Sequence[str], out=sys.stdout) -> int:
+    """corpus-statistics <bliss-corpus.xml[.gz] | sietill-corpus.json>"""
+    path = args[0]
+    if path.endswith(".json"):
+        with open(path) as f:
+            data = json.load(f)
+        segs = data if isinstance(data, list) else data.get("segments", data)
+        n = len(segs)
+        words = sum(len(str(s.get("orth", "")).split()) for s in segs)
+        speakers = {s.get("speaker") for s in segs if s.get("speaker")}
+        genders: Dict[str, int] = {}
+        for s in segs:
+            g = s.get("gender")
+            if g:
+                genders[g] = genders.get(g, 0) + 1
+    else:
+        from ..sprint.bliss import BlissCorpus
+        corpus = BlissCorpus.read(path)
+        segs = corpus.segments
+        n = len(segs)
+        words = sum(len(s.orth) for s in segs)
+        # Bliss recordings play the speaker-grouping role in this corpus
+        speakers = {s.recording for s in segs}
+        genders = {}
+        durations = [s.end - s.start for s in segs
+                     if np.isfinite(s.end - s.start)]
+        stats_extra = {"duration": round(float(sum(durations)), 2)} \
+            if durations else {}
+        stats = {"segments": n, "words": words, "speakers": len(speakers),
+                 "gender": genders, **stats_extra}
+        print(json.dumps(stats), file=out)
+        return 0
+    stats = {"segments": n, "words": words, "speakers": len(speakers),
+             "gender": genders}
+    print(json.dumps(stats), file=out)
+    return 0
+
+
+# -- feature statistics -----------------------------------------------------------
+
+def feature_statistics(args: Sequence[str], out=sys.stdout) -> int:
+    """feature-statistics <cache-file | dir-of-mm2> [dim]"""
+    path = args[0]
+    total = 0
+    mean = None
+    sqr = None
+    if path.endswith(".cache") or "cache" in path.rsplit("/", 1)[-1]:
+        from ..sprint.flow_cache import FeatureCache
+        cache = FeatureCache(path)
+        for key in cache.segments:
+            feats, _t = cache.read_features(key)
+            if mean is None:
+                mean = np.zeros(feats.shape[1])
+                sqr = np.zeros(feats.shape[1])
+            mean += feats.sum(axis=0)
+            sqr += (feats.astype(np.float64) ** 2).sum(axis=0)
+            total += feats.shape[0]
+    else:
+        import os
+        from ..io import read_feature_file
+        dim = int(args[1]) if len(args) > 1 else 12
+        for root, _d, files in os.walk(path):
+            for fn in sorted(files):
+                if not fn.endswith(".mm2"):
+                    continue
+                feats = read_feature_file(os.path.join(root, fn), dim)
+                if mean is None:
+                    mean = np.zeros(dim)
+                    sqr = np.zeros(dim)
+                mean += feats.sum(axis=0)
+                sqr += (feats.astype(np.float64) ** 2).sum(axis=0)
+                total += feats.shape[0]
+    if total == 0:
+        print(json.dumps({"frames": 0}), file=out)
+        return 0
+    mu = mean / total
+    sd = np.sqrt(np.maximum(sqr / total - mu * mu, 0.0))
+    print(json.dumps({"frames": total, "dim": len(mu),
+                      "mean": [round(float(x), 6) for x in mu],
+                      "std": [round(float(x), 6) for x in sd]}), file=out)
+    return 0
+
+
+# -- lattice processor -------------------------------------------------------------
+
+def lattice_processor(args: Sequence[str], out=sys.stdout) -> int:
+    """lattice-processor <archive-dir> <vocab-file> <op> [args...]
+
+    ops: best | n-best <n> | prune <-log-posterior> <out-archive> |
+         cn-decode
+    Vocab file: one word per line (index = word id)."""
+    from ..search.flf import (LatticeArchive, cn_decode, confusion_network)
+    arch_path, vocab_path, op = args[0], args[1], args[2]
+    with open(vocab_path) as f:
+        vocab = [l.strip() for l in f if l.strip()]
+    arch = LatticeArchive(arch_path, vocab)
+    names = arch.list()
+    if op == "best":
+        for name in names:
+            lat = arch.read(name)
+            words, score = lat.best_path()
+            text = " ".join(vocab[w] for w in words if w != lat.silence)
+            print(f"{name}\t{score:.4f}\t{text}", file=out)
+        return 0
+    if op == "n-best":
+        n = int(args[3])
+        for name in names:
+            lat = arch.read(name)
+            for rank, (words, score) in enumerate(lat.n_best(n)):
+                text = " ".join(vocab[w] for w in words if w != lat.silence)
+                print(f"{name}\t{rank}\t{score:.4f}\t{text}", file=out)
+        return 0
+    if op == "prune":
+        thr = float(args[3])
+        dst = LatticeArchive(args[4], vocab)
+        for name in names:
+            dst.write(name, arch.read(name).posterior_prune(thr))
+        return 0
+    if op == "cn-decode":
+        for name in names:
+            lat = arch.read(name)
+            hyp = cn_decode(confusion_network(lat))
+            text = " ".join(vocab[w] for w in hyp if w != lat.silence)
+            print(f"{name}\t{text}", file=out)
+        return 0
+    print(f"lattice-processor: unknown op {op}", file=sys.stderr)
+    return 1
+
+
+TOOLS = {
+    "archiver": archiver,
+    "corpus-statistics": corpus_statistics,
+    "feature-statistics": feature_statistics,
+    "lattice-processor": lattice_processor,
+}
+
+
+def main(argv: Optional[List[str]] = None) -> int:
+    argv = argv if argv is not None else sys.argv[1:]
+    if not argv or argv[0] not in TOOLS:
+        print(f"usage: sprint_tools <{'|'.join(TOOLS)}> [args...]",
+              file=sys.stderr)
+        return 1
+    return TOOLS[argv[0]](argv[1:])
+
+
+if __name__ == "__main__":
+    sys.exit(main())
