@@ -91,6 +91,153 @@ def decode_sharded(mesh: Mesh, pack, feats: np.ndarray, feat_len: np.ndarray,
     return (np.asarray(scores), np.asarray(words), np.asarray(bkps))
 
 
+def wcts_sharded(mesh: Mesh, pack, feats: np.ndarray, feat_len: np.ndarray,
+                 tree_tables, tdp_model, lm_matrix: np.ndarray,
+                 lm_start: np.ndarray, am_threshold: float,
+                 prune: bool = True, dtype=jnp.float32,
+                 axis: str = "model"):
+    """Decode-graph sharding with collective beam exchange: the
+    word-conditioned tree search's predecessor-context axis (C tree
+    copies) is split over the mesh's model axis.  Each device advances
+    its own tree copies; per frame the devices exchange
+
+      * the global beam floor (renormalization + pruning base) via
+        ``lax.pmin`` over the local (contexts × nodes) minima, and
+      * word-end candidates via ``lax.all_gather`` of the per-device
+        [B, W] book minima (+ traceback payloads), recombined by a
+        replicated argmin — the reference's bigramRecombination as an
+        ICI collective instead of a shared-memory array pass
+        (Teaching/WordConditionedTreeSearch.cc:919-956, SURVEY §2.4).
+
+    Semantics are identical to search/wcts._wcts_scan (same tie-breaking:
+    device order == ascending context ids); returns (books, bkps, preds)
+    as [T, B, W] host arrays.
+    """
+    from jax import shard_map
+    from ..search.wcts import build_entry_tables, extend_lm
+    from ..search.decoder import BIG
+    from ..models import gmm as gmm_mod
+
+    n_dev = mesh.shape[axis]
+    B, T, dim = feats.shape
+    lm_ext = extend_lm(lm_matrix, lm_start)           # [C, W]
+    C, W = lm_ext.shape
+    C_pad = -(-C // n_dev) * n_dev
+    lm_pad = np.full((C_pad, W), float(BIG))
+    lm_pad[:C] = lm_ext
+    entry_state, entry_pen = build_entry_tables(tree_tables, tdp_model)
+
+    N = tree_tables.num_nodes
+    state = jnp.asarray(tree_tables.state)
+    parent = jnp.asarray(tree_tables.parent)
+    grand = jnp.asarray(tree_tables.grand)
+    tdp = jnp.asarray(tree_tables.tdp).astype(dtype)
+    loop_allowed = jnp.asarray(tree_tables.loop_allowed)
+    end_node = jnp.asarray(tree_tables.end_node)
+    entry_state_j = jnp.asarray(entry_state)
+    entry_pen_j = jnp.asarray(entry_pen).astype(dtype)
+    big = jnp.asarray(BIG, dtype)
+    thr = jnp.asarray(am_threshold, dtype)
+    n_local = C_pad // n_dev
+
+    am_all = np.asarray(
+        gmm_mod.am_scores(pack, jnp.asarray(feats.reshape(B * T, dim)))
+    ).reshape(B, T, -1).astype(np.float64)
+
+    def kernel(am, lens, lm_local):
+        """Per-device body; lm_local [n_local, W]."""
+        dev = jax.lax.axis_index(axis)
+        ctx_ids = dev * n_local + jnp.arange(n_local)          # global ctx ids
+        lm_loc = lm_local.astype(dtype)
+
+        hyp0 = jnp.full((B, n_local, N), big, dtype)
+        bkp0 = jnp.zeros((B, n_local, N), jnp.int32)
+        book0 = jnp.full((B, W), big, dtype)
+
+        def step(carry, inputs):
+            hyp, bkp, book_prev = carry
+            am_t, t = inputs
+
+            # entry scores for the local contexts from the replicated book
+            is_word = ctx_ids < W
+            is_start = ctx_ids == W
+            gathered = book_prev[:, jnp.clip(ctx_ids, 0, W - 1)]   # [B, n_local]
+            start_val = jnp.where(t == 1, jnp.zeros((), dtype), big)
+            ext = jnp.where(is_word[None, :], gathered,
+                            jnp.where(is_start[None, :], start_val, big))
+
+            loop = jnp.where(loop_allowed[None, None, :],
+                             hyp + tdp[None, None, :, 0], big)
+            fwd = hyp[:, :, parent] + tdp[None, None, :, 1]
+            skip = hyp[:, :, grand] + tdp[None, None, :, 2]
+            within = skip
+            wbkp = bkp[:, :, grand]
+            for c, b in ((fwd, bkp[:, :, parent]), (loop, bkp)):
+                take = c < within
+                within = jnp.where(take, c, within)
+                wbkp = jnp.where(take, b, wbkp)
+            within = within + am_t[:, None, state]
+
+            entry = (ext[:, :, None] + entry_pen_j[None, None, :]
+                     + am_t[:, None, entry_state_j])
+            take_entry = entry <= within
+            new = jnp.where(take_entry, entry, within)
+            nbkp = jnp.where(take_entry, (t - 1).astype(jnp.int32), wbkp)
+            new = new.at[:, :, 0].set(big)
+            new = jnp.minimum(new, big)
+
+            # collective beam floor: global per-(batch) min over all copies
+            local_best = new.min(axis=(1, 2))                   # [B]
+            best = jax.lax.pmin(local_best, axis)[:, None, None]
+            best = jnp.where(best >= big * 0.5, 0.0, best)
+            new = jnp.where(new >= big * 0.5, big, new - best)
+            if prune:
+                new = jnp.where(new > thr, big, new)
+
+            # local word-end candidates + collective recombination
+            ends = new[:, :, end_node]                          # [B, n_local, W]
+            cand = jnp.where(ends >= big * 0.5, big,
+                             ends + lm_loc[None, :, :])
+            arg_l = jnp.argmin(cand, axis=1)                    # [B, W] local
+            score_l = jnp.take_along_axis(cand, arg_l[:, None, :], axis=1)[:, 0]
+            bkp_l = jnp.take_along_axis(nbkp[:, :, end_node],
+                                        arg_l[:, None, :], axis=1)[:, 0]
+            pred_l = ctx_ids[arg_l].astype(jnp.int32)
+
+            g_score = jax.lax.all_gather(score_l, axis)         # [n, B, W]
+            g_bkp = jax.lax.all_gather(bkp_l, axis)
+            g_pred = jax.lax.all_gather(pred_l, axis)
+            win = jnp.argmin(g_score, axis=0)                   # [B, W]
+            book_new = jnp.take_along_axis(g_score, win[None], axis=0)[0]
+            book_bkp = jnp.take_along_axis(g_bkp, win[None], axis=0)[0]
+            book_pred = jnp.take_along_axis(g_pred, win[None], axis=0)[0]
+            book_new = jnp.where(book_new >= big * 0.5, big, book_new)
+
+            alive = (t <= lens)
+            hyp_out = jnp.where(alive[:, None, None], new, hyp)
+            bkp_out = jnp.where(alive[:, None, None], nbkp, bkp)
+            book_out = jnp.where(alive[:, None], book_new, book_prev)
+            return ((hyp_out, bkp_out, book_out),
+                    (book_new, book_bkp, book_pred))
+
+        _, outs = jax.lax.scan(step, (hyp0, bkp0, book0),
+                               (jnp.moveaxis(am, 1, 0), jnp.arange(1, T + 1)))
+        return outs
+
+    sharded = shard_map(
+        kernel, mesh=mesh,
+        in_specs=(P(), P(), P(axis, None)),
+        out_specs=(P(), P(), P()),
+        check_vma=False)
+
+    with mesh:
+        books, bkps, preds = sharded(
+            jnp.asarray(am_all).astype(dtype),
+            jnp.asarray(feat_len, jnp.int32),
+            jnp.asarray(lm_pad))
+    return np.asarray(books), np.asarray(bkps), np.asarray(preds)
+
+
 def accumulate_sharded(mesh: Mesh, pack, feats: np.ndarray, states: np.ndarray,
                        mask: np.ndarray, first_pass: bool):
     """Data-parallel E-step: frames sharded over the data axis; the

@@ -74,3 +74,50 @@ def test_dryrun_multichip_entrypoints():
     out = jax.jit(fn)(*args)
     jax.block_until_ready(out)
     mod.dryrun_multichip(4)
+
+
+def test_wcts_sharded_matches_single(pack, lexicon, demo_corpus):
+    """Decode-graph sharding: tree copies (predecessor contexts) split over
+    the model axis with pmin beam floors + all_gather word-end
+    recombination must be bit-identical to the single-device WCTS scan."""
+    from speechrecognition_tpu.parallel.mesh import wcts_sharded
+    from speechrecognition_tpu.search.tree_decoder import TreeTables
+    from speechrecognition_tpu.search.wcts import (_wcts_scan,
+                                                   build_entry_tables,
+                                                   extend_lm)
+    from speechrecognition_tpu.models import gmm as gmm_mod
+
+    tdp = TdpModel(silence_state=lexicon.silence_state,
+                   loop=3.0, forward=0.0, skip=30.0)
+    tables = TreeTables.build(lexicon, tdp, word_penalty=0.0)
+    W = lexicon.num_words
+    rng = np.random.default_rng(1)
+    lm = rng.uniform(20.0, 120.0, (W, W))
+    lm[:, lexicon.silence_idx] = 0.0
+    lm_start = rng.uniform(20.0, 120.0, W)
+    lm_start[lexicon.silence_idx] = 0.0
+
+    ids = list(range(8))
+    feats, lens = demo_corpus.padded_batch(ids)
+    mesh = make_mesh(8, ("model",))
+    books_s, bkps_s, preds_s = wcts_sharded(
+        mesh, pack, feats, lens, tables, tdp, lm, lm_start,
+        am_threshold=200.0, axis="model")
+
+    lm_ext = extend_lm(lm, lm_start)
+    entry_state, entry_pen = build_entry_tables(tables, tdp)
+    B, T, dim = feats.shape
+    am = gmm_mod.am_scores(pack, jnp.asarray(feats.reshape(B * T, dim)))
+    am = am.reshape(B, T, -1).astype(jnp.float32)
+    books1, bkps1, preds1 = _wcts_scan(
+        am, jnp.asarray(lens, jnp.int32),
+        jnp.asarray(tables.state), jnp.asarray(tables.parent),
+        jnp.asarray(tables.grand), jnp.asarray(tables.tdp),
+        jnp.asarray(tables.loop_allowed), jnp.asarray(entry_state),
+        jnp.asarray(entry_pen), jnp.asarray(tables.end_node),
+        jnp.asarray(lm_ext), jnp.zeros((lm_ext.shape[0], tables.num_nodes)),
+        jnp.asarray(200.0, jnp.float32), prune=True, use_lookahead=False)
+
+    np.testing.assert_array_equal(books_s, np.asarray(books1))
+    np.testing.assert_array_equal(bkps_s, np.asarray(bkps1))
+    np.testing.assert_array_equal(preds_s, np.asarray(preds1))
