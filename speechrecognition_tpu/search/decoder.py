@@ -62,6 +62,10 @@ class DecoderTables:
     entry_pen: np.ndarray     # f64 [W, 2] word-penalty + entry TDP (BIG=invalid)
     num_words: int
     max_pos: int
+    #: f64 [W] penalty charged when *leaving* a word's last state (Sprint's
+    #: per-state-type exit TDP, Am/TransitionModel.hh:64-76). None for the
+    #: SieTill semantics where the word penalty is charged at entry instead.
+    exit_pen: Optional[np.ndarray] = None
 
     @staticmethod
     def build(lexicon: Lexicon, tdp: TdpModel, word_penalty,
@@ -108,6 +112,7 @@ def _decode_scan(am: jnp.ndarray, feat_len: jnp.ndarray,
                  tdp_within: jnp.ndarray, entry_pen: jnp.ndarray,
                  am_threshold: jnp.ndarray, prune: bool = True,
                  carry_in=None, t0: jnp.ndarray = None,
+                 exit_pen: jnp.ndarray = None,
                  ):
     """am: f [B, T, S]. Returns (carry_out, (score [T,B], word [T,B],
     bkp [T,B])) covering frames t0+1..t0+T (output index i ↔ frame t0+i+1).
@@ -184,6 +189,11 @@ def _decode_scan(am: jnp.ndarray, feat_len: jnp.ndarray,
         # traceback: best word-end (smallest word index on ties via argmin)
         end_scores = jnp.take_along_axis(
             new, last_pos[None, :, None].astype(jnp.int32), axis=2)[:, :, 0]  # [B, W]
+        if exit_pen is not None:
+            # Sprint semantics: the exit TDP is charged when leaving the
+            # word's last state (including at the final frame), not folded
+            # into the next word's entry penalty.
+            end_scores = end_scores + exit_pen.astype(dtype)[None, :]
         end_bkp = jnp.take_along_axis(
             new_bkp, last_pos[None, :, None].astype(jnp.int32), axis=2)[:, :, 0]
         book_word = jnp.argmin(end_scores, axis=1).astype(jnp.int32)
@@ -237,10 +247,13 @@ def decode_batch(pack: gmm_mod.ScorePack, feats: np.ndarray, feat_len: np.ndarra
     carry = (jnp.full((B, W, P), BIG, dtype), jnp.zeros((B, W, P), jnp.int32),
              jnp.zeros((B,), dtype))
     out_s, out_w, out_b = [], [], []
+    exit_pen = (None if tables.exit_pen is None
+                else jnp.asarray(tables.exit_pen))
     for ci in range(n_chunks):
         carry, (s, w, b) = _decode_scan(
             am[:, ci * chunk:(ci + 1) * chunk], lens, *args, prune=prune,
-            carry_in=carry, t0=jnp.asarray(ci * chunk, jnp.int32))
+            carry_in=carry, t0=jnp.asarray(ci * chunk, jnp.int32),
+            exit_pen=exit_pen)
         out_s.append(s)
         out_w.append(w)
         out_b.append(b)

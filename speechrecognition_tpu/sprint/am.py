@@ -46,6 +46,79 @@ class TransitionModel:
     entry_m2: StateTypeTdp
     scale: float = 1.0
 
+    def state_tdp(self, state_type: str) -> StateTypeTdp:
+        return {"silence": self.silence, "entry-m1": self.entry_m1,
+                "entry-m2": self.entry_m2}.get(state_type, self.default)
+
+    def decoder_tables(self, lexicon: Lexicon,
+                       state_repetitions: int = 1) -> "object":
+        """Dense decoder tables with Sprint transition semantics
+        (Am/TransitionModel.cc:540-640): loop/forward/skip penalties are
+        charged per the *source* state's type, word entry charges the
+        entry-m1 forward/skip TDPs, and the per-type exit TDP is charged
+        when leaving the word's last state (search.decoder exit_pen) —
+        unlike the SieTill decoder, which charges a flat word penalty at
+        entry (Recognizer.cpp:133-158).
+
+        State types: every state of the silence word is `silence`; other
+        states are phone0/phone1 by repetition sub-state
+        (Am/TransitionModel.hh:120-124 — phone0 + subState). phone1 falls
+        back to `default` unless distinct TDPs were configured.
+        """
+        from ..search.decoder import BIG, DecoderTables
+
+        W, P = lexicon.num_words, lexicon.max_positions
+        state_table = lexicon.state_table()
+        word_len = lexicon.word_lengths()
+        last_pos = word_len - 1
+        first_state = state_table[:, 0].copy()
+        scale = self.scale
+
+        def clean(v: float) -> float:
+            return float(BIG) if not np.isfinite(v) else scale * v
+
+        # per-slot source-state TDP rows [W, P, 3]
+        src_tdp = np.full((W, P, 3), float(BIG))
+        for w in range(W):
+            for s in range(int(word_len[w])):
+                if w == lexicon.silence_idx:
+                    t = self.silence
+                else:
+                    t = self.default  # phone0/phone1 share the wildcard TDPs
+                    _ = state_repetitions  # sub-state split not configured
+                src_tdp[w, s] = [clean(t.loop), clean(t.forward), clean(t.skip)]
+
+        # charge into slot s via jump j from source slot s-j
+        tdp_within = np.full((W, P, 3), float(BIG))
+        for j in range(3):
+            s = np.arange(P)
+            p = s - j
+            # Sprint topology: the last state may loop (the exit is scored
+            # separately at word-end bookkeeping), so unlike the SieTill
+            # pruned decoder nothing excludes last_pos as a loop source;
+            # forward/skip out of the word fall outside the valid mask.
+            valid = (p >= 0) & (s < word_len[:, None])
+            for w in range(W):
+                for si in np.nonzero(valid[w])[0]:
+                    tdp_within[w, si, j] = src_tdp[w, si - j, j]
+
+        entry = self.entry_m1
+        entry_pen = np.full((W, 2), float(BIG))
+        for w in range(W):
+            entry_pen[w, 0] = clean(entry.forward)
+            if word_len[w] > 1:
+                entry_pen[w, 1] = clean(entry.skip)
+
+        exit_pen = np.zeros(W)
+        for w in range(W):
+            t = self.silence if w == lexicon.silence_idx else self.default
+            exit_pen[w] = clean(t.exit)
+
+        return DecoderTables(
+            state_table=state_table, word_len=word_len, last_pos=last_pos,
+            first_state=first_state, tdp_within=tdp_within,
+            entry_pen=entry_pen, num_words=W, max_pos=P, exit_pen=exit_pen)
+
     @staticmethod
     def from_config(cfg: SprintConfig, prefix: str = "x.acoustic-model.tdp",
                     ) -> "TransitionModel":

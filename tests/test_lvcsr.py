@@ -246,3 +246,87 @@ def test_an4_wcts_lookahead_decode(an4_arpa_setup):
     wer_tree = _wer(word_seqs, hyps_tree, idxs)
     wer_lin = _wer(word_seqs, hyps_lin, idxs)
     assert wer_tree <= wer_lin + 2.0, (wer_tree, wer_lin)
+
+
+def test_sprint_transition_decoder_tables_brute_force():
+    """tm.decoder_tables decode == brute-force Viterbi with Sprint
+    source-state TDP charging, entry-m1 entries and exit-at-word-end."""
+    from speechrecognition_tpu.lexicon import Lexicon
+    from speechrecognition_tpu.search.decoder import decode_batch
+    from speechrecognition_tpu.sprint.am import StateTypeTdp, TransitionModel
+
+    lex = Lexicon()
+    lex.add_word("[silence]", 1, 1, silence=True)
+    lex.add_word("a", 3, 1)
+    lex.add_word("b", 2, 1)
+    S = lex.num_states
+    W = lex.num_words
+
+    tm = TransitionModel(
+        default=StateTypeTdp(loop=3.0, forward=0.0, skip=12.0, exit=9.0),
+        silence=StateTypeTdp(loop=1.5, forward=0.0, skip=float("inf"),
+                             exit=2.0),
+        entry_m1=StateTypeTdp(loop=float("inf"), forward=1.0, skip=7.0),
+        entry_m2=StateTypeTdp())
+    tables = tm.decoder_tables(lex)
+
+    rng = np.random.default_rng(7)
+    T = 14
+    am = rng.uniform(0.0, 10.0, size=(1, T, S))
+
+    # brute-force DP with traceback, max-approx over word sequences
+    BIG = 1e30
+    state_table = lex.state_table()
+    word_len = lex.word_lengths()
+    P = lex.max_positions
+
+    def tdp_of(w):
+        return tm.silence if w == lex.silence_idx else tm.default
+
+    hyp = np.full((W, P), BIG)
+    bkp = np.zeros((W, P), np.int64)
+    book, book_bkp = 0.0, 0
+    frame_word, frame_bkp = [], []
+    for t in range(T):
+        new = np.full((W, P), BIG)
+        nbk = np.zeros((W, P), np.int64)
+        for w in range(W):
+            for p in range(int(word_len[w])):
+                cands = []
+                for sp, kind in ((p, "loop"), (p - 1, "forward"),
+                                 (p - 2, "skip")):
+                    if sp < 0 or hyp[w, sp] >= BIG / 2:
+                        continue
+                    pen = getattr(tdp_of(w), kind)
+                    if np.isfinite(pen):
+                        cands.append((hyp[w, sp] + pen, bkp[w, sp]))
+                if p == 0 and np.isfinite(tm.entry_m1.forward):
+                    cands.append((book + tm.entry_m1.forward, t))
+                if p == 1 and np.isfinite(tm.entry_m1.skip):
+                    cands.append((book + tm.entry_m1.skip, t))
+                if cands:
+                    sc, bk = min(cands, key=lambda c: c[0])
+                    new[w, p] = sc + am[0, t, state_table[w, p]]
+                    nbk[w, p] = bk
+        hyp, bkp = new, nbk
+        ends = [hyp[w, int(word_len[w]) - 1] + tdp_of(w).exit
+                for w in range(W)]
+        bw = int(np.argmin(ends))
+        book = ends[bw]
+        frame_word.append(bw)
+        frame_bkp.append(int(bkp[bw, int(word_len[bw]) - 1]))
+
+    # traceback (decode_batch convention: skip silence)
+    want, t = [], T
+    while t > 0:
+        w = frame_word[t - 1]
+        if w != lex.silence_idx:
+            want.append(w)
+        t = frame_bkp[t - 1]
+    want.reverse()
+
+    hyps = decode_batch(None, np.zeros((1, T, 1), np.float32),
+                        np.asarray([T]), tables, 1e9, lex.silence_idx,
+                        prune=False, dtype=jnp.float64,
+                        am=jnp.asarray(am))
+    assert hyps[0] == want, (hyps[0], want)
