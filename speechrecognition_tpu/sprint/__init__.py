@@ -13,3 +13,4 @@ from .flow_cache import FeatureCache  # noqa: F401
 from .bliss import BlissLexicon, BlissCorpus  # noqa: F401
 from .cart import DecisionTree  # noqa: F401
 from .lda import read_matrix_xml, SlidingWindowLDA  # noqa: F401
+from .mc import ModelCombination, ScaledComponent  # noqa: F401

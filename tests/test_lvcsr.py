@@ -330,3 +330,47 @@ def test_sprint_transition_decoder_tables_brute_force():
                         prune=False, dtype=jnp.float64,
                         am=jnp.asarray(am))
     assert hyps[0] == want, (hyps[0], want)
+
+
+def test_mc_scaled_model_combination():
+    """Mc scale propagation: effective = parent × own, ScaleUpdate
+    overrides, and ModelCombination resolving from a Sprint config."""
+    import io
+    from speechrecognition_tpu.sprint.config import SprintConfig
+    from speechrecognition_tpu.sprint.mc import (ModelCombination,
+                                                 ScaledComponent)
+
+    root = ScaledComponent(2.0)
+    am = root.add_child("acoustic-model", ScaledComponent(3.0))
+    tdp = am.add_child("tdp", ScaledComponent(0.5))
+    assert am.scale == 6.0
+    assert tdp.scale == 3.0
+    root.set_own_scale(1.0)
+    assert am.scale == 3.0 and tdp.scale == 1.5
+    root.distribute_scale_update({"acoustic-model.tdp": 2.0})
+    assert tdp.own_scale == 2.0 and tdp.scale == 6.0
+
+    import tempfile, os
+    cfg_text = """
+[x]
+scale = 1.0
+pronunciation-scale = 2.0
+[x.acoustic-model]
+scale = 4.0
+[x.lm]
+scale = 11.0
+"""
+    with tempfile.NamedTemporaryFile("w", suffix=".config",
+                                     delete=False) as f:
+        f.write(cfg_text)
+        path = f.name
+    try:
+        mc = ModelCombination.from_config(SprintConfig.read(path))
+    finally:
+        os.unlink(path)
+    assert mc.am_scale == 4.0
+    assert mc.lm_scale == 11.0
+    assert mc.pronunciation_scale == 2.0
+    assert mc.tdp_scale == 4.0  # inherits the acoustic-model scale
+    lm = np.ones((3, 3))
+    assert np.allclose(mc.lm_matrix(lm), 11.0)
