@@ -296,16 +296,24 @@ class Recognizer:
             exclude_last_pred=self.pruned_search)
         self.tree_tables = (TreeTables.build(lexicon, tdp, self.word_penalty)
                             if self.search_type == "tree" else None)
+        #: optional hybrid scorer (models.nn.NNScorer); when set, acoustic
+        #: scores come from the MLP + prior instead of the GMM pack
+        #: (reference: SieTill.cpp:122-127 picks the scorer the same way)
+        self.nn_scorer = None
 
     def _decode(self, feats: np.ndarray, lens: np.ndarray) -> List[List[int]]:
+        am = None
+        if self.nn_scorer is not None:
+            am = self.nn_scorer.am_batch(feats, feats.shape[2]).astype(self.dtype)
         if self.search_type == "tree":
             from .tree_decoder import decode_batch_tree
             return decode_batch_tree(self.pack, feats, lens, self.tree_tables,
                                      self.am_threshold, self.lexicon.silence_idx,
-                                     prune=self.pruned_search, dtype=self.dtype)
+                                     prune=self.pruned_search, dtype=self.dtype,
+                                     am=am)
         return decode_batch(self.pack, feats, lens, self.tables,
                             self.am_threshold, self.lexicon.silence_idx,
-                            prune=self.pruned_search, dtype=self.dtype)
+                            prune=self.pruned_search, dtype=self.dtype, am=am)
 
     #: padding buckets (multiples of DECODE_CHUNK so the single compiled
     #: chunk scan serves every batch) — instances may override

@@ -202,11 +202,13 @@ def decode_batch_tree(pack: gmm_mod.ScorePack, feats: np.ndarray,
                       feat_len: np.ndarray, tables: TreeTables,
                       am_threshold: float, silence_idx: int,
                       prune: bool = True, dtype=jnp.float32,
-                      ) -> List[List[int]]:
-    """Tree decode → word sequences (silence removed)."""
+                      am=None) -> List[List[int]]:
+    """Tree decode → word sequences (silence removed). `am` may be passed
+    to reuse precomputed [B, T, S] acoustic scores (e.g. NN hybrid)."""
     B, T, dim = feats.shape
-    flat = jnp.asarray(feats.reshape(B * T, dim))
-    am = gmm_mod.am_scores(pack, flat).reshape(B, T, pack.num_mixtures)
+    if am is None:
+        flat = jnp.asarray(feats.reshape(B * T, dim))
+        am = gmm_mod.am_scores(pack, flat).reshape(B, T, pack.num_mixtures)
     am = am.astype(dtype)
     scores, words, bkps = _tree_scan(
         am, jnp.asarray(feat_len, jnp.int32),

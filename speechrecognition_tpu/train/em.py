@@ -51,6 +51,10 @@ class TrainerConfig:
     segmentation_path: str = ""
     batch_size: int = 256
     chunk_frames: int = 1 << 16
+    #: resume after an interruption: skip splits < start_split, loading
+    #: `<mixture-path><start_split-1>.mix` (the reference restarts the same
+    #: way from its per-split checkpoints, Training.cpp:131-136,214-225)
+    start_split: int = 0
 
     @staticmethod
     def from_config(config: Configuration) -> "TrainerConfig":
@@ -162,6 +166,13 @@ class Trainer:
         tables_all = AlignerTables.build(automata, self.tdp)
         alignment = np.zeros(corpus.total_frames, dtype=np.int32)
 
+        if cfg.start_split > 0:
+            self._resume(corpus, tables_all, alignment)
+            for i in range(cfg.start_split, cfg.num_splits + 1):
+                self._split_round(corpus, tables_all, alignment, i)
+            self._finish(t_start)
+            return alignment
+
         # linear segmentation (energy-based initial alignment)
         seg_fn = (linear_segmentation_approximation
                   if cfg.approx_linear_segmentation
@@ -187,39 +198,78 @@ class Trainer:
             write_mixture_set(cfg.mixture_path + "lin.mix", self.model.to_raw())
 
         for i in range(cfg.num_splits + 1):
-            if i > 0:
-                self.model.split(2 * cfg.min_obs)
+            self._split_round(corpus, tables_all, alignment, i)
+
+        self._finish(t_start)
+        return alignment
+
+    def _split_round(self, corpus: Corpus, tables_all: AlignerTables,
+                     alignment: np.ndarray, i: int) -> None:
+        """One split iteration: split/eliminate, realigns, estimates, and
+        the <i>.mix checkpoint (Training.cpp:138-225)."""
+        cfg = self.cfg
+        if i > 0:
+            self.model.split(2 * cfg.min_obs)
+            self._accumulate(corpus, alignment, first_pass=False)
+            self.model.finalize()
+            self.model.eliminate(cfg.min_obs)
+            self._accumulate(corpus, alignment, first_pass=False)
+            self.model.finalize()
+            self.log(f"Num densities: {self.model.num_densities()}")
+            score = self.calc_am_score(corpus, alignment)
+            self.log(f"AM score (post split): {score:.6g}")
+            self._stat(f"{i} -1 0 {score:g}")
+
+        for j in range(cfg.num_aligns):
+            if cfg.realign:
+                self._realign(corpus, tables_all, alignment)
+                if cfg.alignment_path:
+                    write_alignment(f"{cfg.alignment_path}{i}-{j}.dump", alignment)
+            num_estimates = 1 if i == 0 else cfg.num_estimates
+            for k in range(num_estimates):
                 self._accumulate(corpus, alignment, first_pass=False)
                 self.model.finalize()
-                self.model.eliminate(cfg.min_obs)
-                self._accumulate(corpus, alignment, first_pass=False)
-                self.model.finalize()
-                self.log(f"Num densities: {self.model.num_densities()}")
                 score = self.calc_am_score(corpus, alignment)
-                self.log(f"AM score (post split): {score:.6g}")
-                self._stat(f"{i} -1 0 {score:g}")
+                self.log(f"AM score (accumulate): {score:.6g}")
+                self._stat(f"{i} {j} {k} {score:g}")
 
-            for j in range(cfg.num_aligns):
-                if cfg.realign:
-                    self._realign(corpus, tables_all, alignment)
-                    if cfg.alignment_path:
-                        write_alignment(f"{cfg.alignment_path}{i}-{j}.dump", alignment)
-                num_estimates = 1 if i == 0 else cfg.num_estimates
-                for k in range(num_estimates):
-                    self._accumulate(corpus, alignment, first_pass=False)
-                    self.model.finalize()
-                    score = self.calc_am_score(corpus, alignment)
-                    self.log(f"AM score (accumulate): {score:.6g}")
-                    self._stat(f"{i} {j} {k} {score:g}")
+        if cfg.mixture_path:
+            write_mixture_set(f"{cfg.mixture_path}{i}.mix", self.model.to_raw())
 
-            if cfg.mixture_path:
-                write_mixture_set(f"{cfg.mixture_path}{i}.mix", self.model.to_raw())
+    def _resume(self, corpus: Corpus, tables_all: AlignerTables,
+                alignment: np.ndarray) -> None:
+        """Restart after an interruption: reload the last completed split's
+        .mix checkpoint and its alignment dump (or realign from the model
+        when no dump was kept) — checkpoint-based recovery, the same
+        restartability contract as the reference (SURVEY §5)."""
+        import os
 
-        if cfg.training_stats_path:
-            with open(cfg.training_stats_path, "w") as f:
+        from ..io import read_alignment, read_mixture_set
+
+        cfg = self.cfg
+        prev = cfg.start_split - 1
+        raw = read_mixture_set(f"{cfg.mixture_path}{prev}.mix", self.model.dim)
+        self.model = MixtureModel.from_raw(
+            raw, self.model.var_model, max_approx=self.model.max_approx)
+        self.log(f"resumed from {cfg.mixture_path}{prev}.mix "
+                 f"({self.model.num_densities()} densities)")
+        dump = f"{cfg.alignment_path}{prev}-{cfg.num_aligns - 1}.dump"
+        if cfg.alignment_path and os.path.exists(dump):
+            states, _w, _m = read_alignment(dump)
+            if states.shape[0] != corpus.total_frames:
+                raise ValueError(
+                    f"alignment dump {dump}: {states.shape[0]} frames != "
+                    f"corpus {corpus.total_frames}")
+            alignment[:] = states
+            self.log(f"resumed alignment from {dump}")
+        else:
+            self._realign(corpus, tables_all, alignment)
+
+    def _finish(self, t_start: float) -> None:
+        if self.cfg.training_stats_path:
+            with open(self.cfg.training_stats_path, "w") as f:
                 f.write("\n".join(self.stats_lines) + "\n")
         self.log(f"Training took {time.perf_counter() - t_start:.1f} seconds")
-        return alignment
 
     def _stat(self, line: str) -> None:
         self.stats_lines.append(line)

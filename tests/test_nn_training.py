@@ -79,3 +79,29 @@ def test_prior_from_alignment(fixtures_dir):
     prior = compute_prior_from_alignment(states, 106)
     assert abs(prior.sum() - 1.0) < 1e-12
     assert prior[0] > 0.3   # silence dominates
+
+
+def test_hybrid_nn_recognizer_end_to_end(nn_setup, demo_corpus, lexicon):
+    """The recognize action's NN path: Recognizer with an NNScorer decodes
+    the demo corpus (hybrid SieTill.cpp:115-135 with feature-scorer=nn)."""
+    from speechrecognition_tpu.search.decoder import Recognizer
+    from speechrecognition_tpu.tdp import TdpModel
+
+    config, builder, mlp, out = nn_setup
+    trainer = NnTrainer(config, builder, mlp, log=lambda *a: None)
+    result = trainer.train()
+    prior = compute_prior_from_alignment(builder.alignment, 106)
+    log_prior = jnp.asarray(0.6 * np.log(np.maximum(prior, 1e-10)), jnp.float32)
+    scorer = NNScorer(mlp, result["params"], log_prior, context_frames=1)
+
+    tdp = TdpModel(silence_state=lexicon.silence_state,
+                   loop=4.0, forward=0.0, skip=30.0)
+    rc = Configuration({"am-threshold": 200.0, "word-penalty": 105.0,
+                        "pruned-search": True, "max-recognition-runs": 100})
+    rec = Recognizer(rc, lexicon, tdp, pack=None)
+    rec.nn_scorer = scorer
+    res = rec.recognize_corpus(demo_corpus, batch_size=35)
+    # trained on the demo corpus itself: must be far better than chance
+    # (the reference full-corpus hybrid reaches 25.34% WER, main.tex:266)
+    assert np.isfinite(res["wer"])
+    assert res["wer"] < 60.0, res["wer"]
