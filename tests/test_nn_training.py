@@ -81,27 +81,51 @@ def test_prior_from_alignment(fixtures_dir):
     assert prior[0] > 0.3   # silence dominates
 
 
-def test_hybrid_nn_recognizer_end_to_end(nn_setup, demo_corpus, lexicon):
+def test_hybrid_nn_recognizer_end_to_end(nn_setup, demo_corpus, lexicon,
+                                         fixtures_dir, tmp_path):
     """The recognize action's NN path: Recognizer with an NNScorer decodes
-    the demo corpus (hybrid SieTill.cpp:115-135 with feature-scorer=nn)."""
+    the demo corpus (hybrid SieTill.cpp:115-135 with feature-scorer=nn).
+
+    Uses the reference presentation's hybrid shape (1×150 sigmoid hidden,
+    context 2, AdaDelta — main.tex:233,266) trained long enough on the
+    35-utterance demo corpus that the softmax sharpens; a soft model can't
+    outbid the free silence loop (TDP charges `forward` into silence on
+    every jump, TdpModel.cpp:19-29, so silence self-loops cost 0)."""
     from speechrecognition_tpu.search.decoder import Recognizer
     from speechrecognition_tpu.tdp import TdpModel
 
-    config, builder, mlp, out = nn_setup
+    config = Configuration({
+        "target-file": str(fixtures_dir / "demo_alignments" / "alignment-2-0.dump"),
+        "context-frames": 2, "cv-size": 0.0, "batch-size": 8,
+        "num-epochs": 150, "updater": "adadelta", "learning-rate": 1.0,
+        "gradient-check": False,
+        "output-dir": str(tmp_path / "models"),
+        "nn-training-stats-path": str(tmp_path / "nn_stats.data"),
+        "layers": [
+            {"layer-name": "hidden-layer1", "num-outputs": 150,
+             "type": "feed-forward", "nonlinearity": "sigmoid",
+             "input": ["data"]},
+            {"layer-name": "output-layer", "num-outputs": 106,
+             "type": "output", "input": ["hidden-layer1"]},
+        ],
+    })
+    builder = MiniBatchBuilder.from_config(config, demo_corpus, 8, 106, 0)
+    mlp = MLP(layer_specs_from_config(config), input_dim=builder.feature_size)
     trainer = NnTrainer(config, builder, mlp, log=lambda *a: None)
     result = trainer.train()
     prior = compute_prior_from_alignment(builder.alignment, 106)
     log_prior = jnp.asarray(0.6 * np.log(np.maximum(prior, 1e-10)), jnp.float32)
-    scorer = NNScorer(mlp, result["params"], log_prior, context_frames=1)
+    scorer = NNScorer(mlp, result["params"], log_prior, context_frames=2)
 
     tdp = TdpModel(silence_state=lexicon.silence_state,
-                   loop=4.0, forward=0.0, skip=30.0)
-    rc = Configuration({"am-threshold": 200.0, "word-penalty": 105.0,
+                   loop=1.0, forward=0.0, skip=10.0)
+    rc = Configuration({"am-threshold": 200.0, "word-penalty": 10.0,
                         "pruned-search": True, "max-recognition-runs": 100})
     rec = Recognizer(rc, lexicon, tdp, pack=None)
     rec.nn_scorer = scorer
     res = rec.recognize_corpus(demo_corpus, batch_size=35)
     # trained on the demo corpus itself: must be far better than chance
-    # (the reference full-corpus hybrid reaches 25.34% WER, main.tex:266)
+    # (the reference full-corpus hybrid reaches 25.34% WER, main.tex:266;
+    # this setup measures ≈20% here)
     assert np.isfinite(res["wer"])
-    assert res["wer"] < 60.0, res["wer"]
+    assert res["wer"] < 40.0, res["wer"]
