@@ -54,6 +54,7 @@ import jax.numpy as jnp
 from ..models import gmm as gmm_mod
 from ..tdp import TdpModel
 from .decoder import BIG
+from .histogram import DEFAULT_BINS, histogram_prune
 from .tree_decoder import TreeTables
 
 
@@ -130,14 +131,16 @@ class LookaheadTables:
         return la_u[:, self.node_id]              # [C, N]
 
 
-@partial(jax.jit, static_argnames=("prune", "use_lookahead"))
+@partial(jax.jit, static_argnames=("prune", "use_lookahead", "state_limit",
+                                   "histogram_bins"))
 def _wcts_scan(am: jnp.ndarray, feat_len: jnp.ndarray,
                state: jnp.ndarray, parent: jnp.ndarray, grand: jnp.ndarray,
                tdp: jnp.ndarray, loop_allowed: jnp.ndarray,
                entry_state: jnp.ndarray, entry_pen: jnp.ndarray,
                end_node: jnp.ndarray, lm_ext: jnp.ndarray, la: jnp.ndarray,
                am_threshold: jnp.ndarray, prune: bool = True,
-               use_lookahead: bool = False):
+               use_lookahead: bool = False, state_limit: int = 0,
+               histogram_bins: int = 0):
     """am [B, T, S]; lm_ext [C, W] (last context row = sentence start);
     la [C, N] lookahead scores (ignored unless use_lookahead).
     Returns per-frame (book [T,B,W], bkp [T,B,W], pred [T,B,W]);
@@ -203,6 +206,17 @@ def _wcts_scan(am: jnp.ndarray, feat_len: jnp.ndarray,
                 new = jnp.where(ant - ant_best > am_threshold, big, new)
             else:
                 new = jnp.where(new > am_threshold, big, new)
+            if state_limit:
+                # acoustic histogram pruning: tighten the beam to keep at
+                # most ~state_limit hypotheses per utterance
+                # (Search/WordConditionedTreeSearch.cc:1260-1264)
+                keep, _ = jax.vmap(
+                    lambda s, v: histogram_prune(
+                        s, v, state_limit, jnp.asarray(0.0, dtype),
+                        am_threshold.astype(dtype),
+                        histogram_bins or DEFAULT_BINS))(
+                    new.reshape(B, -1), (new < big * 0.5).reshape(B, -1))
+                new = jnp.where(keep.reshape(new.shape), new, big)
 
         # word-end recombination over predecessor contexts
         ends = new[:, :, end_node]                       # [B, C, W]
@@ -235,6 +249,8 @@ def decode_batch_wcts(pack: gmm_mod.ScorePack, feats: np.ndarray,
                       am_threshold: float, silence_idx: int,
                       prune: bool = True,
                       lookahead: Optional[LookaheadTables] = None,
+                      state_limit: int = 0,
+                      histogram_bins: int = DEFAULT_BINS,
                       dtype=jnp.float32) -> List[List[int]]:
     """Word-conditioned tree decode → word sequences (silence removed).
 
@@ -260,7 +276,8 @@ def decode_batch_wcts(pack: gmm_mod.ScorePack, feats: np.ndarray,
         jnp.asarray(entry_state), jnp.asarray(entry_pen),
         jnp.asarray(tables.end_node), jnp.asarray(lm_ext), jnp.asarray(la),
         jnp.asarray(am_threshold, dtype), prune=prune,
-        use_lookahead=lookahead is not None)
+        use_lookahead=lookahead is not None,
+        state_limit=state_limit, histogram_bins=histogram_bins)
     books_np = np.asarray(books)   # [T, B, W]
     bkps_np = np.asarray(bkps)
     preds_np = np.asarray(preds)

@@ -101,8 +101,9 @@ def test_baum_welch_alignment_over_an4(builder):
     corpus = BlissCorpus.read(f"{DATA}/an4_test.20081021.corpus.gz")
     cache = FeatureCache(f"{DATA}/mfcc.features.recognition.cache")
     segs = corpus.segments[:3]
-    feats_list = [cache.read(corpus.full_segment_name(s)) for s in segs]
-    orths = [s.orth.split() for s in segs]
+    feats_list = [cache.read_features(corpus.full_segment_name(s))[0]
+                  for s in segs]
+    orths = [list(s.orth) for s in segs]
 
     tables = aligner_tables_for_orths(builder, orths)
     num_classes = builder.model.num_classes
@@ -125,8 +126,9 @@ def test_baum_welch_alignment_over_an4(builder):
             if m.any():
                 model.mean_weight_acc[s] += m.sum()
                 model.mean_acc[s] += f[m].sum(axis=0)
-                model.var_weight_acc[s] += m.sum()
-                model.var_acc[s] += (f[m] ** 2).sum(axis=0)
+                # GLOBAL_POOLING: one shared variance accumulator
+                model.var_weight_acc[0] += m.sum()
+                model.var_acc[0] += (f[m] ** 2).sum(axis=0)
     model.finalize()
     pack = model.pack(dtype=jnp.float64)
 
