@@ -49,6 +49,13 @@ def demo_corpus(lexicon):
 
 
 @pytest.fixture(scope="session")
+def demo_description(lexicon):
+    from speechrecognition_tpu.corpus import CorpusDescription
+    return CorpusDescription.read(
+        str(REFERENCE / "src/sietill/corpora/demo_corpus.json"), lexicon)
+
+
+@pytest.fixture(scope="session")
 def demo_recognition():
     with open(FIXTURES / "demo_recognition.json") as f:
         return json.load(f)
