@@ -190,6 +190,68 @@ def extract_features_warped(samples: np.ndarray,
     return (np.log(fb) @ dct_matrix(cfg)).astype(np.float32)
 
 
+def parse_warping_function(declaration: str, max_arg: float,
+                           env: dict | None = None):
+    """Parse a Sprint warping-function declaration into a callable.
+
+    Supports the grammar used by the filterbank configs
+    (rwth-asr-0.5/src/Signal/Filterbank.hh:128-134,
+    Math/AnalyticFunctionFactory.cc:421-510):
+      * ``mel``                     — the mel scale
+      * ``linear-2(α, limit)``      — two-piece linear warp
+      * ``affine-3(α, shift, lo, hi)`` — three-piece affine warp
+      * ``nest(f, g)``              — composition g(f(x))
+      * ``$input(name)``            — placeholder substituted from ``env``
+    Returns a vectorized ``f(x) -> warped x``.
+    """
+    env = env or {}
+    s = declaration.strip()
+
+    def parse(expr: str):
+        expr = expr.strip()
+        if expr == "mel":
+            return mel_scale
+        if expr.startswith("nest(") and expr.endswith(")"):
+            inner, outer = _split_args(expr[5:-1], 2)
+            f, g = parse(inner), parse(outer)
+            return lambda x: g(f(x))
+        if expr.startswith("linear-2(") and expr.endswith(")"):
+            a, lim = (_num(v, env) for v in _split_args(expr[9:-1], 2))
+            return two_piece_linear(a, lim, max_arg)
+        if expr.startswith("affine-3(") and expr.endswith(")"):
+            a, sh, lo, hi = (_num(v, env) for v in _split_args(expr[9:-1], 4))
+            return three_piece_affine(a, sh, lo, hi, max_arg)
+        raise ValueError(f"cannot parse warping function: {expr!r}")
+
+    return parse(s)
+
+
+def _split_args(text: str, n: int) -> list:
+    """Split on top-level commas (respecting nested parentheses)."""
+    parts, depth, cur = [], 0, []
+    for ch in text:
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        if ch == "," and depth == 0:
+            parts.append("".join(cur))
+            cur = []
+        else:
+            cur.append(ch)
+    parts.append("".join(cur))
+    if len(parts) != n:
+        raise ValueError(f"expected {n} arguments in {text!r}")
+    return parts
+
+
+def _num(token: str, env: dict) -> float:
+    token = token.strip()
+    if token.startswith("$input(") and token.endswith(")"):
+        return float(env[token[7:-1].strip()])
+    return float(token)
+
+
 @dataclass
 class WarpingChoice:
     alpha: float

@@ -102,3 +102,26 @@ def test_ml_estimator_recovers_true_alpha():
     choice = est.estimate([audio], scorer)
     assert choice.alpha == true_alpha
     assert set(choice.scores) == set(alphas)
+
+
+def test_parse_warping_function_grammar():
+    from speechrecognition_tpu.features.warping import (mel_scale,
+                                                        parse_warping_function)
+    f = parse_warping_function("mel", MAX_F)
+    np.testing.assert_allclose(f(700.0), mel_scale(700.0))
+
+    g = parse_warping_function("linear-2(0.9, 0.875)", MAX_F)
+    assert g(100.0) == pytest.approx(90.0)
+
+    # the canonical VTLN declaration from the filterbank docs
+    # (Signal/Filterbank.hh:132): warp then mel
+    h = parse_warping_function(
+        "nest(linear-2($input(warping-factor), 0.875), mel)", MAX_F,
+        env={"warping-factor": 0.9})
+    np.testing.assert_allclose(h(100.0), mel_scale(90.0))
+
+    a = parse_warping_function("affine-3(1.1, 200, 0.1, 0.8)", MAX_F)
+    assert a(MAX_F) == pytest.approx(MAX_F, abs=1e-6)
+
+    with pytest.raises(ValueError):
+        parse_warping_function("bogus(1)", MAX_F)
