@@ -80,6 +80,7 @@ def main():
 
     raw = read_mixture_set(model_path, 25)
     model = MixtureModel.from_raw(raw, pooling, max_approx=True)
+    bench_dtype = os.environ.get("BENCH_DTYPE", "f64")
     tdp_vals = meta.get("tdp", [3.0, 0.0, 30.0])
     tdp = TdpModel(silence_state=lex.silence_state, loop=tdp_vals[0],
                    forward=tdp_vals[1], skip=tdp_vals[2])
@@ -89,9 +90,12 @@ def main():
         "pruned-search": True,
         "max-recognition-runs": 10 ** 9,
     })
-    dtype = jnp.float64 if os.environ.get("BENCH_DTYPE", "f64") == "f64" \
-        else jnp.float32
-    rec = Recognizer(config, lex, tdp, model.pack(dtype=dtype), dtype=dtype)
+    if bench_dtype == "df32":
+        dtype, pack = "df32", model.pack_df()
+    else:
+        dtype = jnp.float64 if bench_dtype == "f64" else jnp.float32
+        pack = model.pack(dtype=dtype)
+    rec = Recognizer(config, lex, tdp, pack, dtype=dtype)
 
     # warmup: compile every (batch, bucket) shape up-front
     t0 = time.perf_counter()

@@ -62,12 +62,18 @@ def main(argv=None) -> int:
         tdp = TdpModel.from_config(config, lexicon.silence_state)
 
         if action == "train":
+            import jax.numpy as jnp
             from .train.em import Trainer, TrainerConfig
             model = MixtureModel(dim=sig_cfg.n_features_total,
                                  num_mixtures=lexicon.num_states,
                                  var_model=pooling, max_approx=max_approx)
+            # "f64" reproduces the reference's double-precision accumulation
+            # (Mixtures.cpp:590-628) bit-closely; "f32" is the fast TPU path
+            dtype = (jnp.float64
+                     if ParameterString("train-dtype", "f32")(config) == "f64"
+                     else jnp.float32)
             trainer = Trainer(TrainerConfig.from_config(config), lexicon, model,
-                              tdp, max_approx=max_approx,
+                              tdp, max_approx=max_approx, dtype=dtype,
                               log=lambda *a: print(*a, file=sys.stderr))
             trainer.train(corpus)
             return 0

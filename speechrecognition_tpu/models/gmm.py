@@ -82,6 +82,40 @@ class ScorePack:
         return jnp.concatenate([x * x, x, ones], axis=-1)
 
 
+@dataclass
+class ScorePackDF:
+    """Double-float (two-f32) scoring tables: the TPU-native stand-in for
+    the reference's float64 accumulation (Mixtures.cpp:590-628) — ~49
+    effective mantissa bits with every op on the VPU in f32.
+
+    Fields are DF pairs from ops/doublefloat.py; ``mu``/``iv`` are the raw
+    means and inverse variances (NOT pre-halved: the reference multiplies
+    by vars_inv_ and halves the final sum, density_score_sse
+    Mixtures.cpp:645-690 — we keep the same operation order)."""
+
+    mu: "object"              # DF [S·D, dim]
+    iv: "object"              # DF [S·D, dim]
+    norm: "object"            # DF [S·D]
+    logw: "object"            # DF [S·D]
+    active: jnp.ndarray       # bool [S, D]
+    num_mixtures: int
+    density_cap: int
+    dim: int
+    max_approx: bool
+
+
+# pytree registration so ScorePackDF flows through jax.jit (arrays as
+# leaves, the shape/config ints as static aux data)
+jax.tree_util.register_pytree_node(
+    ScorePackDF,
+    lambda p: ((p.mu, p.iv, p.norm, p.logw, p.active),
+               (p.num_mixtures, p.density_cap, p.dim, p.max_approx)),
+    lambda aux, ch: ScorePackDF(mu=ch[0], iv=ch[1], norm=ch[2], logw=ch[3],
+                                active=ch[4], num_mixtures=aux[0],
+                                density_cap=aux[1], dim=aux[2],
+                                max_approx=aux[3]))
+
+
 class MixtureModel:
     """Host-side GMM state (flat f64 arrays, reference-identical indices)."""
 
@@ -363,6 +397,42 @@ class MixtureModel:
 
     # -- host application of device statistics -------------------------------
 
+    def pack_df(self) -> "ScorePackDF":
+        """Double-float (two-f32) scoring pack: exact f32-pair splits of the
+        host float64 tables for the bit-parity decode path (see
+        am_scores_df)."""
+        from ..ops import doublefloat as dfm
+        from ..ops.mahalanobis import pack_to_mahalanobis
+
+        S = self.num_mixtures
+        D = self.max_densities_per_mixture
+        dim = self.dim
+        mu = np.zeros((S * D, dim))
+        iv = np.zeros((S * D, dim))
+        norm = np.full(S * D, float(INACTIVE_SCORE))
+        logw = np.zeros(S * D)
+        active = np.zeros((S, D), bool)
+        for s in range(S):
+            for d, (mean_idx, var_idx) in enumerate(self.mixtures[s]):
+                m_vec = self.means[mean_idx]
+                iv_vec = self.vars_inv[var_idx]
+                nrm = self.norm[var_idx]
+                lw = self.mean_weights_log[mean_idx]
+                if not (np.isfinite(m_vec).all() and np.isfinite(iv_vec).all()
+                        and np.isfinite(nrm) and np.isfinite(lw)):
+                    continue
+                j = s * D + d
+                mu[j] = m_vec
+                iv[j] = iv_vec
+                norm[j] = nrm
+                logw[j] = lw
+                active[s, d] = True
+        return ScorePackDF(
+            mu=dfm.from_f64(mu), iv=dfm.from_f64(iv),
+            norm=dfm.from_f64(norm), logw=dfm.from_f64(logw),
+            active=jnp.asarray(active), num_mixtures=S, density_cap=D,
+            dim=dim, max_approx=self.max_approx)
+
     def apply_statistics(self, w: np.ndarray, xs: np.ndarray, x2s: np.ndarray) -> None:
         """Fold dense per-(mixture, density-slot) stats into the flat
         reference-indexed accumulators (handles shared var slots)."""
@@ -420,6 +490,65 @@ def am_scores(pack: ScorePack, feats: jnp.ndarray) -> jnp.ndarray:
         lambda x: mixture_scores_from_density(pack, density_scores(pack, x)),
         chunks)
     return out.reshape(-1, pack.num_mixtures)[:N]
+
+
+AM_CHUNK_DF = 1 << 12  # df scoring holds several [chunk, S·D] f32 pairs
+
+
+def _density_scores_df(packdf: ScorePackDF, x: jnp.ndarray):
+    """x f32 [n, dim] → DF [n, S·D] density scores, reference op order:
+    d = Σᵢ (x−μ)²·iv  (double in C++, DF here);  score = norm + d/2 − logw."""
+    from ..ops import doublefloat as dfm
+
+    n = x.shape[0]
+    J = packdf.mu.hi.shape[0]
+    x = x.astype(jnp.float32)
+    acc = dfm.DF(jnp.zeros((n, J), jnp.float32), jnp.zeros((n, J), jnp.float32))
+    for i in range(packdf.dim):
+        mu_i = dfm.DF(packdf.mu.hi[None, :, i], packdf.mu.lo[None, :, i])
+        iv_i = dfm.DF(packdf.iv.hi[None, :, i], packdf.iv.lo[None, :, i])
+        diff = dfm.add_f(dfm.neg(mu_i), x[:, i, None])          # [n, J]
+        acc = dfm.add(acc, dfm.mul(dfm.mul(diff, diff), iv_i))
+    half = dfm.DF(acc.hi * 0.5, acc.lo * 0.5)                   # exact ×2⁻¹
+    score = dfm.add(dfm.DF(packdf.norm.hi[None, :], packdf.norm.lo[None, :]),
+                    half)
+    score = dfm.add(score, dfm.neg(dfm.DF(packdf.logw.hi[None, :],
+                                          packdf.logw.lo[None, :])))
+    return score
+
+
+@jax.jit
+def _am_chunk_df(packdf: ScorePackDF, x: jnp.ndarray):
+    from ..ops import doublefloat as dfm
+
+    sc = _density_scores_df(packdf, x)
+    S, D = packdf.num_mixtures, packdf.density_cap
+    sc = dfm.DF(sc.hi.reshape(-1, S, D), sc.lo.reshape(-1, S, D))
+    if not packdf.max_approx:
+        raise NotImplementedError("df32 path covers max-approx scoring only")
+    m = dfm.min_axis(sc, axis=-1)
+    init = dfm.df(jnp.asarray(MIN_SCORE_INIT, jnp.float32))
+    cap = dfm.DF(jnp.broadcast_to(init.hi, m.hi.shape),
+                 jnp.broadcast_to(init.lo, m.lo.shape))
+    return dfm.minimum(m, cap)
+
+
+def am_scores_df(packdf: ScorePackDF, feats: jnp.ndarray):
+    """[N, dim] f32 → DF [N, S] state-level scores in double-float.
+
+    Chunked over frames like am_scores; per-dim unrolled DF loop on the
+    VPU (the MXU cannot accumulate beyond f32)."""
+    from ..ops import doublefloat as dfm
+
+    N = feats.shape[0]
+    if N <= AM_CHUNK_DF:
+        return _am_chunk_df(packdf, feats)
+    pad = (-N) % AM_CHUNK_DF
+    fp = jnp.pad(feats, ((0, pad), (0, 0)))
+    chunks = fp.reshape(-1, AM_CHUNK_DF, feats.shape[1])
+    out = jax.lax.map(lambda x: _am_chunk_df(packdf, x), chunks)
+    S = packdf.num_mixtures
+    return dfm.DF(out.hi.reshape(-1, S)[:N], out.lo.reshape(-1, S)[:N])
 
 
 def accumulate_chunk(pack: ScorePack, feats: jnp.ndarray, states: jnp.ndarray,

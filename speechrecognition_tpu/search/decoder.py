@@ -214,6 +214,140 @@ def _decode_scan(am: jnp.ndarray, feat_len: jnp.ndarray,
     return carry_out, (scores, words, bkps)
 
 
+@partial(jax.jit, static_argnames=("prune",))
+def _decode_scan_df(am_hi: jnp.ndarray, am_lo: jnp.ndarray,
+                    feat_len: jnp.ndarray,
+                    state_table: jnp.ndarray, last_pos: jnp.ndarray,
+                    word_len: jnp.ndarray, first_state: jnp.ndarray,
+                    tdp_hi: jnp.ndarray, tdp_lo: jnp.ndarray,
+                    ent_hi: jnp.ndarray, ent_lo: jnp.ndarray,
+                    am_threshold: jnp.ndarray, prune: bool = True,
+                    carry_in=None, t0: jnp.ndarray = None):
+    """Double-float (two-f32) variant of _decode_scan: every path score is
+    a (hi, lo) pair with exact comparisons, reproducing the reference's
+    float64 decisions (Recognizer.cpp:103-232) without float64 on the TPU.
+    Same outputs as _decode_scan; BIG sentinels live in the hi component.
+    """
+    from ..ops import doublefloat as dfm
+
+    B, T, S = am_hi.shape
+    W, P = state_table.shape
+    big = jnp.asarray(BIG, jnp.float32)
+
+    tdpw = dfm.DF(tdp_hi, tdp_lo)            # [W, P, 3]
+    entp = dfm.DF(ent_hi, ent_lo)            # [W, 2]
+    slot_valid = jnp.arange(P)[None, :] < word_len[:, None]  # [W, P]
+
+    def dfull(shape, hi_val=0.0):
+        return dfm.DF(jnp.full(shape, hi_val, jnp.float32),
+                      jnp.zeros(shape, jnp.float32))
+
+    if carry_in is None:
+        hyp0 = dfull((B, W, P), float(BIG))
+        bkp0 = jnp.zeros((B, W, P), jnp.int32)
+        book0 = dfull((B,))
+    else:
+        (h_hi, h_lo), bkp0, (b_hi, b_lo) = carry_in
+        hyp0, book0 = dfm.DF(h_hi, h_lo), dfm.DF(b_hi, b_lo)
+    if t0 is None:
+        t0 = jnp.zeros((), jnp.int32)
+    zero_bkp = jnp.zeros((B, W, P), jnp.int32)
+
+    def shift(x: dfm.DF, k: int, tdp_j: dfm.DF) -> dfm.DF:
+        """hyp shifted k positions right along P, plus the jump-k TDP
+        (tdp_j covers target slots k..P-1, i.e. shape [W, P-k])."""
+        if k == 0:
+            return dfm.add(x, dfm.DF(tdp_j.hi[None], tdp_j.lo[None]))
+        moved = dfm.add(dfm.DF(x.hi[:, :, :-k], x.lo[:, :, :-k]),
+                        dfm.DF(tdp_j.hi[None], tdp_j.lo[None]))
+        pad = dfull((B, W, k), float(BIG))
+        return dfm.DF(jnp.concatenate([pad.hi, moved.hi], axis=2),
+                      jnp.concatenate([pad.lo, moved.lo], axis=2))
+
+    def step(carry, inputs):
+        (hyp_hi, hyp_lo), bkp, (bp_hi, bp_lo) = carry
+        am_t_hi, am_t_lo, t = inputs          # [B, S]
+        hyp = dfm.DF(hyp_hi, hyp_lo)
+        book_prev = dfm.DF(bp_hi, bp_lo)
+
+        ams = dfm.DF(am_t_hi[:, state_table], am_t_lo[:, state_table])
+        c0 = shift(hyp, 0, dfm.DF(tdpw.hi[:, :, 0], tdpw.lo[:, :, 0]))
+        c1 = shift(hyp, 1, dfm.DF(tdpw.hi[:, 1:, 1], tdpw.lo[:, 1:, 1]))
+        c2 = shift(hyp, 2, dfm.DF(tdpw.hi[:, 2:, 2], tdpw.lo[:, 2:, 2]))
+        b0 = jnp.concatenate([zero_bkp[:, :, :1], bkp[:, :, :-1]], axis=2)
+        b00 = jnp.concatenate([zero_bkp[:, :, :2], bkp[:, :, :-2]], axis=2)
+        # larger jumps win ties (first writer in ascending predecessor scan)
+        within, wbkp = c2, b00
+        for c, b in ((c1, b0), (c0, bkp)):
+            take = dfm.less(c, within)
+            within = dfm.where(take, c, within)
+            wbkp = jnp.where(take, b, wbkp)
+        within = dfm.add(within, ams)
+
+        am_first = dfm.DF(am_t_hi[:, first_state], am_t_lo[:, first_state])
+        entry2 = dfm.add(
+            dfm.add(dfm.DF(book_prev.hi[:, None, None],
+                           book_prev.lo[:, None, None]),
+                    dfm.DF(entp.hi[None], entp.lo[None])),
+            dfm.DF(am_first.hi[:, :, None], am_first.lo[:, :, None]))
+        padP = dfull((B, W, P - 2), float(BIG))
+        entry = dfm.DF(jnp.concatenate([entry2.hi, padP.hi], axis=2),
+                       jnp.concatenate([entry2.lo, padP.lo], axis=2))
+
+        take_entry = dfm.less_equal(entry, within)   # entries win ties
+        new = dfm.where(take_entry, entry, within)
+        new_bkp = jnp.where(take_entry, (t - 1).astype(jnp.int32), wbkp)
+        bigdf = dfull((B, W, P), float(BIG))
+        new = dfm.where(slot_valid[None, :, :], new, bigdf)
+        new = dfm.where(new.hi >= big, bigdf, new)
+
+        # renormalize by the per-frame best (shared offset: decisions
+        # invariant, carry magnitude stays O(threshold))
+        best = dfm.min_axis(new, (1, 2))
+        dead = best.hi >= big * 0.5
+        best = dfm.DF(jnp.where(dead, 0.0, best.hi)[:, None, None],
+                      jnp.where(dead, 0.0, best.lo)[:, None, None])
+        shifted = dfm.sub(new, dfm.DF(jnp.broadcast_to(best.hi, new.hi.shape),
+                                      jnp.broadcast_to(best.lo, new.lo.shape)))
+        new = dfm.where(new.hi >= big * 0.5, bigdf, shifted)
+
+        if prune:
+            thr = dfm.df(am_threshold.astype(jnp.float32))
+            over = ~dfm.less_equal(new, dfm.DF(
+                jnp.broadcast_to(thr.hi, new.hi.shape),
+                jnp.broadcast_to(thr.lo, new.lo.shape)))
+            new = dfm.where(over, bigdf, new)
+
+        lp = last_pos[None, :, None].astype(jnp.int32)
+        end = dfm.DF(jnp.take_along_axis(new.hi, lp, axis=2)[:, :, 0],
+                     jnp.take_along_axis(new.lo, lp, axis=2)[:, :, 0])
+        end_bkp = jnp.take_along_axis(new_bkp, lp, axis=2)[:, :, 0]
+        # smallest word index wins ties → first index attaining the lexmin
+        m = dfm.min_axis(end, 1)
+        is_best = (end.hi == m.hi[:, None]) & (end.lo == m.lo[:, None])
+        book_word = jnp.argmax(is_best, axis=1).astype(jnp.int32)
+        book_score = dfm.DF(
+            jnp.take_along_axis(end.hi, book_word[:, None], axis=1)[:, 0],
+            jnp.take_along_axis(end.lo, book_word[:, None], axis=1)[:, 0])
+        book_bkp = jnp.take_along_axis(end_bkp, book_word[:, None], axis=1)[:, 0]
+        bigb = dfull((B,), float(BIG))
+        book_score = dfm.where(book_score.hi >= big * 0.5, bigb, book_score)
+
+        alive = (t <= feat_len)[:, None, None]
+        hyp_out = dfm.where(alive, new, hyp)
+        bkp_out = jnp.where(alive, new_bkp, bkp)
+        book_out = dfm.where(alive[:, 0, 0], book_score, book_prev)
+        return (((hyp_out.hi, hyp_out.lo), bkp_out,
+                 (book_out.hi, book_out.lo)),
+                (book_score.hi, book_word, book_bkp))
+
+    carry_out, (scores, words, bkps) = jax.lax.scan(
+        step, ((hyp0.hi, hyp0.lo), bkp0, (book0.hi, book0.lo)),
+        (jnp.moveaxis(am_hi, 1, 0), jnp.moveaxis(am_lo, 1, 0),
+         t0 + jnp.arange(1, T + 1)))
+    return carry_out, (scores, words, bkps)
+
+
 #: time-chunk length: ONE compiled (B, CHUNK) scan shape serves utterances
 #: of any length by streaming chunks through the carried lattice state
 DECODE_CHUNK = 320
@@ -274,6 +408,66 @@ def decode_batch(pack: gmm_mod.ScorePack, feats: np.ndarray, feat_len: np.ndarra
     return out
 
 
+def decode_batch_df(packdf, feats: np.ndarray, feat_len: np.ndarray,
+                    tables: DecoderTables, am_threshold: float,
+                    silence_idx: int, prune: bool = True,
+                    chunk: int = DECODE_CHUNK) -> List[List[int]]:
+    """decode_batch on the double-float path: df32 acoustic scores
+    (models/gmm.am_scores_df) + the df32 scan — reference-f64 decisions
+    with only f32 device arithmetic."""
+    from ..models.gmm import am_scores_df
+    from ..ops import doublefloat as dfm
+
+    B, T, _ = feats.shape
+    flat = jnp.asarray(feats.reshape(B * T, feats.shape[2]))
+    am = am_scores_df(packdf, flat)
+    S = packdf.num_mixtures
+    am_hi = am.hi.reshape(B, T, S)
+    am_lo = am.lo.reshape(B, T, S)
+    n_chunks = -(-T // chunk)
+    if T < n_chunks * chunk:
+        padw = ((0, 0), (0, n_chunks * chunk - T), (0, 0))
+        am_hi = jnp.pad(am_hi, padw)
+        am_lo = jnp.pad(am_lo, padw)
+
+    lens = jnp.asarray(feat_len, jnp.int32)
+    tdp_df = dfm.from_f64(tables.tdp_within)
+    ent_df = dfm.from_f64(tables.entry_pen)
+    args = (jnp.asarray(tables.state_table), jnp.asarray(tables.last_pos),
+            jnp.asarray(tables.word_len), jnp.asarray(tables.first_state),
+            tdp_df.hi, tdp_df.lo, ent_df.hi, ent_df.lo,
+            jnp.asarray(am_threshold, jnp.float32))
+    W, P = tables.state_table.shape
+    carry = ((jnp.full((B, W, P), BIG, jnp.float32),
+              jnp.zeros((B, W, P), jnp.float32)),
+             jnp.zeros((B, W, P), jnp.int32),
+             (jnp.zeros((B,), jnp.float32), jnp.zeros((B,), jnp.float32)))
+    out_w, out_b = [], []
+    for ci in range(n_chunks):
+        carry, (_s, w, b) = _decode_scan_df(
+            am_hi[:, ci * chunk:(ci + 1) * chunk],
+            am_lo[:, ci * chunk:(ci + 1) * chunk],
+            lens, *args, prune=prune,
+            carry_in=carry, t0=jnp.asarray(ci * chunk, jnp.int32))
+        out_w.append(w)
+        out_b.append(b)
+    words_np = np.concatenate([np.asarray(w) for w in out_w], axis=0)
+    bkps_np = np.concatenate([np.asarray(b) for b in out_b], axis=0)
+
+    out: List[List[int]] = []
+    for b in range(B):
+        t = int(feat_len[b])
+        seq: List[int] = []
+        while t > 0:
+            w = int(words_np[t - 1, b])
+            if w != silence_idx:
+                seq.append(w)
+            t = int(bkps_np[t - 1, b])
+        seq.reverse()
+        out.append(seq)
+    return out
+
+
 class Recognizer:
     """Corpus-level recognition driver with WER/SER/RTF reporting
     (reference: Recognizer.cpp:38-92)."""
@@ -302,6 +496,11 @@ class Recognizer:
         self.nn_scorer = None
 
     def _decode(self, feats: np.ndarray, lens: np.ndarray) -> List[List[int]]:
+        if self.dtype == "df32":
+            # double-float path: pack must be a ScorePackDF (model.pack_df())
+            return decode_batch_df(self.pack, feats, lens, self.tables,
+                                   self.am_threshold, self.lexicon.silence_idx,
+                                   prune=self.pruned_search)
         am = None
         if self.nn_scorer is not None:
             am = self.nn_scorer.am_batch(feats, feats.shape[2]).astype(self.dtype)

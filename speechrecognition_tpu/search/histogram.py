@@ -33,10 +33,12 @@ def histogram_quantile(scores: jnp.ndarray, valid: jnp.ndarray,
     """Score of the ``n``-th best valid hypothesis, histogram-quantized.
 
     scores: [...] float; valid: [...] bool mask of live hypotheses with
-    lower <= score (invalid entries are ignored). Returns a scalar
-    threshold t such that #(scores <= t) >= min(n, #valid), matching
-    Histogram::quantile up to its bin resolution (the reference rounds the
-    threshold UP to the bin's upper edge; so do we).
+    lower <= score (invalid entries are ignored). Returns the LOWER edge
+    of the first bin whose cumulative count reaches ``n``
+    (Histogram.hh:69: ``return position(b)`` after ``s >= n``), exactly as
+    the reference does — so the kept count #(scores <= t) can fall short
+    of ``n`` by up to that bin's population (everything in the boundary
+    bin above its lower edge is cut).
     """
     scores = scores.reshape(-1)
     valid = valid.reshape(-1)

@@ -203,9 +203,15 @@ def _wcts_scan(am: jnp.ndarray, feat_len: jnp.ndarray,
                 ant = jnp.where(new >= big * 0.5, big, new + la[None, :, :])
                 ant_best = ant.min(axis=(1, 2), keepdims=True)
                 ant_best = jnp.where(ant_best >= big * 0.5, 0.0, ant_best)
-                new = jnp.where(ant - ant_best > am_threshold, big, new)
+                ant_rel = jnp.where(ant >= big * 0.5, big, ant - ant_best)
+                new = jnp.where(ant_rel > am_threshold, big, new)
+                # histogram pruning must rank by *prospect* (score incl.
+                # lookahead), like the reference
+                # (Search/WordConditionedTreeSearch.cc:1256-1264)
+                prune_scores = jnp.where(new >= big * 0.5, big, ant_rel)
             else:
                 new = jnp.where(new > am_threshold, big, new)
+                prune_scores = new
             if state_limit:
                 # acoustic histogram pruning: tighten the beam to keep at
                 # most ~state_limit hypotheses per utterance
@@ -215,7 +221,8 @@ def _wcts_scan(am: jnp.ndarray, feat_len: jnp.ndarray,
                         s, v, state_limit, jnp.asarray(0.0, dtype),
                         am_threshold.astype(dtype),
                         histogram_bins or DEFAULT_BINS))(
-                    new.reshape(B, -1), (new < big * 0.5).reshape(B, -1))
+                    prune_scores.reshape(B, -1),
+                    (prune_scores < big * 0.5).reshape(B, -1))
                 new = jnp.where(keep.reshape(new.shape), new, big)
 
         # word-end recombination over predecessor contexts

@@ -72,6 +72,8 @@ class TrainerConfig:
             approx_linear_segmentation=ParameterBool("approx-linear-segmentation", True)(config),
             write_linear_segmentation=ParameterBool("write-linear-segmentation", False)(config),
             segmentation_path=ParameterString("segmentation-path", "")(config),
+            batch_size=ParameterInt("train-batch-size", 256)(config),
+            start_split=ParameterInt("start-split", 0)(config),
         )
 
 

@@ -131,6 +131,46 @@ def test_lookahead_structure(lexicon, setup):
     assert la1.num_tables <= la.num_tables
 
 
+def test_histogram_pruning_ranks_by_prospect():
+    """With lookahead on, histogram (state-limit) pruning must rank
+    hypotheses by *anticipated* score (score + lookahead), like the
+    reference (Search/WordConditionedTreeSearch.cc:1256-1264) — not by the
+    raw acoustic score.
+
+    Construction: two one-node words. At frame 1 word B has the better raw
+    acoustic score (0 vs 5) but a much worse LM continuation (lookahead
+    100 vs 0). With state_limit=1 the survivor must be word A (prospect
+    5+0=5 beats 0+100=100); pruning on raw scores would keep B instead.
+    """
+    from speechrecognition_tpu.search.wcts import BIG, _wcts_scan
+
+    big = BIG
+    am = jnp.asarray(np.array([[[5.0, 0.0], [0.0, 0.0]]]))     # [B=1,T=2,S=2]
+    feat_len = jnp.asarray(np.array([2], np.int32))
+    state = jnp.asarray(np.array([0, 0, 1], np.int32))          # node→am state
+    parent = jnp.asarray(np.array([0, 0, 0], np.int32))
+    grand = jnp.asarray(np.array([0, 0, 0], np.int32))
+    tdp = jnp.zeros((3, 3))
+    loop_allowed = jnp.asarray(np.array([False, True, True]))
+    entry_state = jnp.asarray(np.array([0, 0, 1], np.int32))
+    entry_pen = jnp.asarray(np.array([big, 0.0, 0.0]))
+    end_node = jnp.asarray(np.array([1, 2], np.int32))
+    # lm_ext rows: contexts [A, B, start]; word A continuations cheap,
+    # word B continuations expensive
+    lm_ext = jnp.asarray(np.tile(np.array([0.0, 100.0]), (3, 1)))
+    la = jnp.asarray(np.tile(np.array([0.0, 0.0, 100.0]), (3, 1)))
+
+    books, _bkps, _preds = _wcts_scan(
+        am, feat_len, state, parent, grand, tdp, loop_allowed,
+        entry_state, entry_pen, end_node, lm_ext, la,
+        jnp.asarray(200.0), prune=True, use_lookahead=True,
+        state_limit=1, histogram_bins=101)
+    books = np.asarray(books)
+    # frame 1: word A's hypothesis survived (book finite), word B pruned
+    assert books[0, 0, 0] < big * 0.5, books[0, 0]
+    assert books[0, 0, 1] >= big * 0.5, books[0, 0]
+
+
 def test_lookahead_pruning_preserves_transcripts(setup, lexicon, demo_corpus,
                                                  bigram_lm):
     pack, tdp, c = setup

@@ -23,7 +23,7 @@ sys.path.insert(0, REPO)
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--method", default="mxu", choices=["pallas", "mxu"])
-    ap.add_argument("--dtype", default="f32", choices=["f32", "f64"])
+    ap.add_argument("--dtype", default="f32", choices=["f32", "f64", "df32"])
     ap.add_argument("--batch-size", type=int, default=512)
     ap.add_argument("--buckets", default="",
                     help="comma-separated T buckets (fewer = fewer compiles)")
@@ -56,8 +56,12 @@ def main():
     raw = read_mixture_set(os.path.join(REPO, "bench/model.mix"), 25)
     model = MixtureModel.from_raw(raw, VarianceModel.from_string(cfgm["pooling"]),
                                   max_approx=True)
-    dtype = jnp.float64 if args.dtype == "f64" else jnp.float32
-    pack = model.pack(dtype=dtype, method=args.method)
+    if args.dtype == "df32":
+        dtype = "df32"
+        pack = model.pack_df()
+    else:
+        dtype = jnp.float64 if args.dtype == "f64" else jnp.float32
+        pack = model.pack(dtype=dtype, method=args.method)
     tdp = TdpModel(silence_state=lex.silence_state, loop=cfgm["tdp"][0],
                    forward=cfgm["tdp"][1], skip=cfgm["tdp"][2])
     config = Configuration({"am-threshold": cfgm["am_threshold"],
