@@ -300,6 +300,197 @@ def f_delay(ins, attrs, ctx):
     return _single(ins)
 
 
+# -- DSP node catalog: the Signal/ filters behind audio→MFCC networks ---------
+# Each node delegates to features/frontend.py so a sietill-equivalent .flow
+# network reproduces the .mm2 feature files bit-exactly (test_flow.py).
+
+
+def _attr_samples(attrs, key, sample_rate, default):
+    """Window lengths appear as seconds (Sprint `.025`) or samples (sietill
+    `200`); values < 1 are seconds."""
+    v = float(attrs.get(key, default))
+    return int(round(v * sample_rate)) if v < 1.0 else int(round(v))
+
+
+def f_audio_input(ins, attrs, ctx):
+    """Audio file source (Audio/Wav.cc node family). The file comes from
+    the `file` attribute (usually `$(input-file)`); .sph/.wav headers are
+    handled by io.read_audio_file (IO.cpp:13-44 semantics)."""
+    from ..io import read_audio_file
+
+    return read_audio_file(attrs["file"])
+
+
+def f_sietill_preemphasis(ins, attrs, ctx):
+    """sietill pre-emphasis: saturated int16 difference x[i]−x[i−1]
+    (SignalAnalysis.cpp:120-131). Distinct from Sprint's float
+    signal-preemphasis (alpha scaling, no saturation)."""
+    from ..features.frontend import pre_emphasis
+
+    return pre_emphasis(np.asarray(_single(ins)))
+
+
+def f_window(ins, attrs, ctx):
+    """signal-window (Signal/Window.cc + WindowFunction.cc): frame the
+    signal every `shift` and apply the window function. Output [T, length].
+    sietill zero-pads the tail so every shift starts a frame
+    (SignalAnalysis.cpp:87-99) — `flush-all=true` (the default here)."""
+    from ..features.frontend import SignalAnalysisConfig, _frame_signal, hamming_window
+
+    x = np.asarray(_single(ins)).astype(np.float64).reshape(-1)
+    rate = int(float(attrs.get("sample-rate", ctx.get("sample-rate", 8000))))
+    length = _attr_samples(attrs, "length", rate, 200)
+    shift = _attr_samples(attrs, "shift", rate, 80)
+    cfg = SignalAnalysisConfig(sample_rate=rate,
+                               window_shift_ms=shift * 1000 // rate,
+                               window_size_ms=length * 1000 // rate)
+    frames = _frame_signal(x, cfg)
+    kind = attrs.get("type", "hamming")
+    if kind == "hamming":
+        return frames * hamming_window(length)[None, :]
+    if kind == "rectangular":
+        return frames
+    raise ValueError(f"unsupported window type: {kind}")
+
+
+def f_real_fft(ins, attrs, ctx):
+    """signal-real-fast-fourier-transform: zero-pad frames to `length`,
+    FFT with 1/√N normalization (SignalAnalysis.cpp:146-222), output the
+    alternating re/im vector Sprint nodes exchange
+    (Signal/FastFourierTransform.cc)."""
+    frames = np.asarray(_single(ins), np.float64)
+    N = int(attrs.get("length", attrs.get("maximum-input-size", 1024)))
+    T, w = frames.shape
+    padded = np.zeros((T, N))
+    padded[:, :w] = frames
+    spec = np.fft.rfft(padded, axis=1) / np.sqrt(N)
+    out = np.empty((T, 2 * spec.shape[1]))
+    out[:, 0::2] = spec.real
+    out[:, 1::2] = spec.imag
+    return out
+
+
+def f_amplitude(ins, attrs, ctx):
+    """signal-vector-alternating-complex-f32-amplitude: |z| via hypot
+    (SignalAnalysis.cpp:226-233)."""
+    x = np.asarray(_single(ins), np.float64)
+    return np.hypot(x[:, 0::2], x[:, 1::2])
+
+
+def f_filterbank(ins, attrs, ctx):
+    """signal-filterbank (Signal/Filterbank.cc, warping-function=mel):
+    triangular mel filters; sietill geometry with centers at i·d
+    (SignalAnalysis.cpp:237-303). `floor` adds the reference's 1e-10
+    before the log stage (SignalAnalysis.cpp:244-247)."""
+    from ..features.frontend import SignalAnalysisConfig, mel_filterbank_matrix
+
+    spec = np.asarray(_single(ins), np.float64)
+    n_bins = spec.shape[1]
+    rate = int(float(attrs.get("sample-rate", ctx.get("sample-rate", 8000))))
+    n_filters = int(attrs.get("filters", attrs.get("n-filters", 15)))
+    cfg = SignalAnalysisConfig(sample_rate=rate, n_mel_filters=n_filters,
+                               dft_length=2 * (n_bins - 1))
+    fb = mel_filterbank_matrix(cfg)
+    floor = float(attrs.get("floor", 0.0))
+    return floor + spec @ fb
+
+
+def f_ln(ins, attrs, ctx):
+    """generic-vector-f32-ln: natural log elementwise."""
+    return np.log(np.asarray(_single(ins), np.float64))
+
+
+def f_cosine_transform(ins, attrs, ctx):
+    """signal-cosine-transform (Signal/CosineTransform.cc): unscaled
+    DCT-II keeping `nr-outputs` coefficients (SignalAnalysis.cpp:307-316)."""
+    from ..features.frontend import SignalAnalysisConfig, dct_matrix
+
+    x = np.asarray(_single(ins), np.float64)
+    n_out = int(attrs.get("nr-outputs", 12))
+    cfg = SignalAnalysisConfig(n_mel_filters=x.shape[1],
+                               n_features_in_file=n_out)
+    return x @ dct_matrix(cfg)
+
+
+def f_regression(ins, attrs, ctx):
+    """signal-regression (Signal/Regression.cc:25-66): least-squares
+    derivative over a sliding window of `max-size` frames.
+
+      order 1:  out[t] = Σᵢ dt·f[t+i] / Σ dt²,  dt = i − (n−1)/2
+      order 2:  out[t] = Σᵢ f[t+i]·(2·(tm − dt²·n)/(tm² − n·Σdt⁴))
+
+    Window frames beyond the sequence edge repeat the boundary frame
+    (the sliding-window node's frame prediction)."""
+    x = np.asarray(_single(ins), np.float64)
+    T, D = x.shape
+    n = int(attrs.get("max-size", 5))
+    right = int(attrs.get("right", (n - 1) // 2))
+    left = n - 1 - right
+    order = int(attrs.get("order", 1))
+    idx = np.clip(np.arange(T)[:, None] + np.arange(-left, right + 1)[None, :],
+                  0, T - 1)
+    win = x[idx]                                    # [T, n, D]
+    dt = np.arange(n, dtype=np.float64) - (n - 1) / 2.0
+    tm = float((dt * dt).sum())
+    if order == 1:
+        return np.einsum("tnd,n->td", win, dt) / tm
+    if order == 2:
+        ns = tm * tm - n * float((dt ** 4).sum())
+        coef = (tm - dt * dt * n) * 2.0 / ns
+        return np.einsum("tnd,n->td", win, coef)
+    raise ValueError("signal-regression supports order 1 and 2 only")
+
+
+def f_sietill_deltas(ins, attrs, ctx):
+    """sietill Δ/ΔΔ-energy expansion: [T, 12] → [T, 25]
+    (SignalAnalysis.cpp:320-336 clamped-step differences)."""
+    from ..features.frontend import SignalAnalysisConfig, add_deltas
+
+    step = int(attrs.get("deriv-step", 3))
+    cfg = SignalAnalysisConfig(deriv_step=step)
+    return add_deltas(np.asarray(_single(ins), np.float32), cfg)
+
+
+def f_energy_max_norm(ins, attrs, ctx):
+    """sietill per-utterance energy-max normalization
+    (SignalAnalysis.cpp:340-349)."""
+    from ..features.frontend import energy_max_normalization
+
+    return energy_max_normalization(np.asarray(_single(ins), np.float32))
+
+
+def f_mean_variance_file_norm(ins, attrs, ctx):
+    """Corpus mean/σ normalization from a stored statistics file
+    (SignalAnalysis.cpp:353-399; sietill Normalization-eugen.bin format)."""
+    from ..features.frontend import apply_normalization
+    from ..io import read_normalization
+
+    x = np.asarray(_single(ins), np.float32)
+    mean, std = read_normalization(attrs["file"], x.shape[1])
+    return apply_normalization(x, mean, std)
+
+
+def f_convert(ins, attrs, ctx):
+    """generic-convert-* family: dtype casts between node families."""
+    to = attrs.get("to", "f32")
+    dt = {"f32": np.float32, "f64": np.float64, "s16": np.int16}[to]
+    return np.asarray(_single(ins)).astype(dt)
+
+
+def f_cache_write(ins, attrs, ctx):
+    """Flow/Cache.cc writing side: dump the input to a raw float file
+    (.mm2 layout, IO.cpp:82-92) keyed by $(id) under `path`."""
+    from ..io import write_feature_file
+
+    x = np.asarray(_single(ins), np.float32)
+    path = attrs["path"]
+    if "id" in attrs:
+        path = os.path.join(path, attrs["id"] + ".mm2")
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    write_feature_file(path, x)
+    return x
+
+
 BUILTIN_FILTERS: Dict[str, Callable] = {
     "generic-cache": f_generic_cache,
     "signal-vector-f32-sequence-concatenation": f_sequence_concatenation,
@@ -307,4 +498,22 @@ BUILTIN_FILTERS: Dict[str, Callable] = {
     "signal-normalization": f_normalization,
     "signal-preemphasis": f_preemphasis,
     "generic-identity": f_delay,
+    # DSP catalog (audio → MFCC)
+    "audio-input-file": f_audio_input,
+    "audio-input-file-wav": f_audio_input,
+    "sietill-preemphasis": f_sietill_preemphasis,
+    "signal-window": f_window,
+    "signal-real-fast-fourier-transform": f_real_fft,
+    "signal-vector-alternating-complex-f32-amplitude": f_amplitude,
+    "signal-filterbank": f_filterbank,
+    "generic-vector-f32-ln": f_ln,
+    "signal-cosine-transform": f_cosine_transform,
+    "signal-regression": f_regression,
+    "sietill-deltas": f_sietill_deltas,
+    "sietill-energy-max-normalization": f_energy_max_norm,
+    "signal-mean-variance-normalization-file": f_mean_variance_file_norm,
+    "generic-convert": f_convert,
+    "generic-convert-vector-s16-to-vector-f32": f_convert,
+    "generic-convert-vector-f64-to-vector-f32": f_convert,
+    "generic-cache-write": f_cache_write,
 }

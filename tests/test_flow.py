@@ -76,3 +76,57 @@ def test_flow_simple_filters(tmp_path):
     pre[0] *= 0.0
     expect = pre - pre.mean(axis=0, keepdims=True)
     np.testing.assert_allclose(out, expect)
+
+
+def test_sietill_mfcc_flow_bit_exact(fixtures_dir):
+    """The packaged audio→MFCC Flow network (sietill-mfcc.flow) reproduces
+    the .mm2 demo feature fixtures bit-exactly: each DSP node
+    (sietill-preemphasis → signal-window → FFT → amplitude → filterbank →
+    ln → cosine-transform) matches SignalAnalysis.cpp:73-116."""
+    import json
+    import speechrecognition_tpu.sprint as sprint_pkg
+    from speechrecognition_tpu.io import read_feature_file
+
+    flow_path = os.path.join(os.path.dirname(sprint_pkg.__file__),
+                             "flows", "sietill-mfcc.flow")
+    net = FlowNetwork.parse(flow_path)
+    assert net.outputs == ["features"]
+
+    with open("/root/reference/src/sietill/corpora/demo_corpus.json") as f:
+        segments = json.load(f)["segments"]
+    audio_dir = "/root/reference/data/audio/"
+    checked = 0
+    for seg in segments[:5]:
+        name = seg["name"]
+        out = net.run(params={"input-file": f"{audio_dir}{name}.sph",
+                              "id": name})
+        got = out["features"].astype(np.float32)
+        want = read_feature_file(
+            str(fixtures_dir / "demo_features" / f"{name}.mm2")).reshape(-1, 12)
+        np.testing.assert_array_equal(got, want)
+        checked += 1
+    assert checked == 5
+
+
+def test_regression_node_first_and_second_order():
+    """signal-regression vs a direct transcription of Regression.cc:25-66
+    on a ragged random sequence (interior frames, no edge effects)."""
+    rng = np.random.default_rng(3)
+    x = rng.standard_normal((40, 6))
+    net_attrs = {"max-size": "5", "right": "2"}
+    from speechrecognition_tpu.sprint.flow import f_regression
+
+    for order in (1, 2):
+        got = f_regression({"in": x}, {**net_attrs, "order": str(order)}, {})
+        n = 5
+        dt = np.arange(n) - (n - 1) / 2.0
+        tm = (dt * dt).sum()
+        for t in range(2, 38):
+            win = x[t - 2: t + 3]
+            if order == 1:
+                want = (dt[:, None] * win).sum(axis=0) / tm
+            else:
+                ns = tm * tm - n * (dt ** 4).sum()
+                want = ((win * tm - win * (dt * dt)[:, None] * n).sum(axis=0)
+                        * 2.0 / ns)
+            np.testing.assert_allclose(got[t], want, rtol=1e-12)
