@@ -88,6 +88,64 @@ def linear_segmentation_running_sums(energy: np.ndarray) -> Tuple[int, int]:
     return b1, b2
 
 
+def linear_segmentation_full_dp(energy: np.ndarray,
+                                next_energy: float = 0.0) -> Tuple[int, int]:
+    """Third variant: the exact O(K·N²) DP with precomputed per-segment
+    means (Training.cpp:257-348) — the reference's cross-validation twin
+    of the running-sums DP (same objective, different rounding path).
+
+    Quirks kept: segment means accumulate in float32
+    (``CostMatrix = vector<vector<float>>``, Training.cpp:273-299); local
+    costs re-accumulate (e[t] − mean)² in float64 (:320-327); the cost
+    matrix stores float32 with strict-> updates, so the earliest n' wins
+    ties (:330-334).
+
+    ``next_energy``: the reference fills segment_means[N−1][N−1] from
+    ``**feature_end`` (Training.cpp:301) — one past the segment, i.e. the
+    *next* segment's first energy in the flat corpus store (undefined
+    memory for the last segment). Pass that value for bug-compatible
+    boundaries; the default 0.0 gives the intended semantics.
+    """
+    N = energy.shape[0]
+    e32 = energy.astype(np.float32)
+    e64 = e32.astype(np.float64)
+    K = 4
+
+    # mean[a, b] = f32-accumulated mean of e[a..b] (row-wise running sums)
+    means = np.zeros((N, N), np.float32)
+    for a in range(N - 1):
+        run = np.add.accumulate(e32[a:], dtype=np.float32)
+        counts = np.arange(1, N - a + 1, dtype=np.float32)
+        means[a, a:] = run / counts
+        means[a, a] = e32[a]
+    means[N - 1, N - 1] = np.float32(next_energy)
+
+    # prefix sums for the f64 local-cost expansion
+    ps = np.concatenate([[0.0], np.add.accumulate(e64)])
+    ps2 = np.concatenate([[0.0], np.add.accumulate(e64 * e64)])
+
+    costs = np.full((K, N), 1e10, np.float32)
+    backs = np.zeros((K, N), np.int64)
+    costs[0, 0] = 0.0
+    n_idx = np.arange(N)
+    for k in range(1, K):
+        for n in range(1, N):
+            npr = n_idx[:n]
+            m = means[npr + 1, n].astype(np.float64)
+            cnt = (n - npr).astype(np.float64)
+            # Σ_{t=n'+1..n} (e[t] − m)²  expanded around the f32 mean
+            local = (ps2[n + 1] - ps2[npr + 1]
+                     - 2.0 * m * (ps[n + 1] - ps[npr + 1]) + cnt * m * m)
+            cand = costs[k - 1, :n].astype(np.float64) + local
+            j = int(np.argmin(cand))
+            if costs[k, n] > cand[j]:
+                costs[k, n] = np.float32(cand[j])
+                backs[k, n] = j
+    b2 = int(backs[K - 1, N - 1])
+    b1 = int(backs[K - 2, b2])
+    return b1, b2
+
+
 def linear_alignment_mapping(automaton_states: np.ndarray, num_frames: int,
                              b1: int, b2: int) -> np.ndarray:
     """Frame → automaton state, linear between the boundaries

@@ -23,6 +23,7 @@ from __future__ import annotations
 import enum
 import math
 from dataclasses import dataclass
+from functools import partial
 from typing import List, Optional, Tuple
 
 import numpy as np
@@ -104,8 +105,19 @@ class ScorePackDF:
     max_approx: bool
 
 
-# pytree registration so ScorePackDF flows through jax.jit (arrays as
-# leaves, the shape/config ints as static aux data)
+# pytree registrations so packs flow through jax.jit (arrays as leaves,
+# the shape/config metadata as static aux data)
+jax.tree_util.register_pytree_node(
+    ScorePack,
+    lambda p: ((p.P, p.active, p.mu, p.a, p.c),
+               (p.num_mixtures, p.density_cap, p.dim, p.max_approx,
+                p.dtype, p.method)),
+    lambda aux, ch: ScorePack(P=ch[0], active=ch[1], num_mixtures=aux[0],
+                              density_cap=aux[1], dim=aux[2],
+                              max_approx=aux[3], dtype=aux[4], method=aux[5],
+                              mu=ch[2], a=ch[3], c=ch[4]))
+
+
 jax.tree_util.register_pytree_node(
     ScorePackDF,
     lambda p: ((p.mu, p.iv, p.norm, p.logw, p.active),
@@ -589,3 +601,53 @@ def accumulate_chunk(pack: ScorePack, feats: jnp.ndarray, states: jnp.ndarray,
     x2s = jax.ops.segment_sum(gamma64[:, :, None] * (f64 * f64)[:, None, :], ids,
                               num_segments=S)
     return w, xs, x2s
+
+
+# -- whole-corpus fused EM passes ---------------------------------------------
+# One jitted dispatch per E-step / AM-score pass over device-resident
+# feature chunks: the tunnel-latency killer for full-corpus training
+# (the reference streams the flat corpus array once per pass too,
+# Training.cpp:44-235 / Mixtures.cpp:278-372).
+
+
+@partial(jax.jit, static_argnames=("first_pass",))
+def em_accumulate_corpus(pack: ScorePack, feats_chunks: jnp.ndarray,
+                         states_chunks: jnp.ndarray, mask_chunks: jnp.ndarray,
+                         first_pass: bool):
+    """feats_chunks f32 [K, C, dim]; states int32 [K, C]; mask f32 [K, C].
+    Returns (w [S,D], xs [S,D,dim], x2s [S,D,dim]) in float64 — identical
+    math to accumulate_chunk, scanned over chunks on device."""
+    S, D = pack.num_mixtures, pack.density_cap
+    dim = feats_chunks.shape[-1]
+
+    def body(carry, inp):
+        w, xs, x2s = carry
+        f, st, m = inp
+        cw, cxs, cx2s = accumulate_chunk(pack, f, st, m, first_pass)
+        return (w + cw, xs + cxs, x2s + cx2s), None
+
+    init = (jnp.zeros((S, D), jnp.float64),
+            jnp.zeros((S, D, dim), jnp.float64),
+            jnp.zeros((S, D, dim), jnp.float64))
+    (w, xs, x2s), _ = jax.lax.scan(
+        body, init, (feats_chunks, states_chunks, mask_chunks))
+    return w, xs, x2s
+
+
+@jax.jit
+def em_am_score_corpus(pack: ScorePack, feats_chunks: jnp.ndarray,
+                       states_chunks: jnp.ndarray, mask_chunks: jnp.ndarray):
+    """Sum of per-frame mixture scores under the alignment
+    (Training.cpp:585-612), one device dispatch for the whole corpus."""
+
+    def body(total, inp):
+        f, st, m = inp
+        sc = mixture_scores_from_density(pack, density_scores(pack, f))
+        fs = jnp.take_along_axis(sc, st[:, None].astype(jnp.int32),
+                                 axis=1)[:, 0]
+        return total + (fs.astype(jnp.float64) * m).sum(), None
+
+    total, _ = jax.lax.scan(
+        body, jnp.zeros((), jnp.float64),
+        (feats_chunks, states_chunks, mask_chunks))
+    return total

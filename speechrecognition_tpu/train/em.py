@@ -28,9 +28,13 @@ from ..config import Configuration, ParameterBool, ParameterFloat, ParameterInt,
 from ..corpus import Corpus
 from ..io import write_alignment, write_mixture_set
 from ..lexicon import Lexicon, build_segment_automaton
-from ..models.gmm import MixtureModel, ScorePack, accumulate_chunk, am_scores
+from ..models.gmm import (MixtureModel, ScorePack, em_accumulate_corpus,
+                          em_am_score_corpus)
 from ..tdp import TdpModel
-from ..align.linear_seg import linear_segmentation_approximation, linear_segmentation_running_sums, linear_alignment_mapping
+from ..align.linear_seg import (linear_alignment_mapping,
+                                linear_segmentation_approximation,
+                                linear_segmentation_full_dp,
+                                linear_segmentation_running_sums)
 from ..align.viterbi import AlignerTables, align_batch
 
 
@@ -47,6 +51,11 @@ class TrainerConfig:
     realign: bool = True
     alignment_pruning: bool = True
     approx_linear_segmentation: bool = True
+    #: "" (use the bool above, reference semantics) | "approx" |
+    #: "running-sums" | "full-dp" — the reference's three interchangeable
+    #: segmentations (Training.cpp:257,350,429); full-dp is its dead-code
+    #: exact variant, exposed here for A/B cross-validation
+    segmentation_variant: str = ""
     write_linear_segmentation: bool = False
     segmentation_path: str = ""
     batch_size: int = 256
@@ -74,6 +83,8 @@ class TrainerConfig:
             segmentation_path=ParameterString("segmentation-path", "")(config),
             batch_size=ParameterInt("train-batch-size", 256)(config),
             start_split=ParameterInt("start-split", 0)(config),
+            segmentation_variant=ParameterString(
+                "linear-segmentation-variant", "")(config),
         )
 
 
@@ -89,53 +100,66 @@ class Trainer:
         self.dtype = dtype
         self.log = log
         self.stats_lines: List[str] = []
+        #: device-resident corpus (built lazily): [K, C, dim] feature
+        #: chunks + [K, C] mask, and the flat [N_pad, dim] feature array
+        #: for on-device alignment batch gathers
+        self._dev_chunks = None
+        self._dev_mask = None
+        self._dev_flat = None
+        self.phase_seconds = {"estimate": 0.0, "align": 0.0, "score": 0.0}
 
     # -- device helpers ------------------------------------------------------
 
+    def _device_corpus(self, corpus: Corpus):
+        """Upload the flat feature store once; every EM pass then runs as a
+        single device dispatch (the tunnel/PCIe round-trips, not FLOPs,
+        dominate otherwise)."""
+        if self._dev_chunks is None:
+            C = self.cfg.chunk_frames
+            N = corpus.total_frames
+            K = -(-N // C)
+            fp = np.zeros((K * C, self.model.dim), np.float32)
+            fp[:N] = corpus.features
+            self._dev_chunks = jnp.asarray(fp.reshape(K, C, self.model.dim))
+            mask = np.zeros(K * C, np.float32)
+            mask[:N] = 1.0
+            self._dev_mask = jnp.asarray(mask.reshape(K, C))
+            self._dev_flat = jnp.asarray(fp)
+        return self._dev_chunks, self._dev_mask
+
+    def _states_chunks(self, alignment: np.ndarray) -> jnp.ndarray:
+        K, C, _ = self._dev_chunks.shape
+        st = np.zeros(K * C, np.int32)
+        st[: alignment.shape[0]] = alignment
+        return jnp.asarray(st.reshape(K, C))
+
     def _accumulate(self, corpus: Corpus, alignment: np.ndarray,
                     first_pass: bool) -> None:
-        """One E-step over the whole corpus: chunked device statistics."""
+        """One E-step over the whole corpus: one fused device pass."""
+        t0 = time.perf_counter()
+        chunks, mask = self._device_corpus(corpus)
         pack = self.model.pack(dtype=self.dtype)
-        S, D = pack.num_mixtures, pack.density_cap
-        w = np.zeros((S, D))
-        xs = np.zeros((S, D, self.model.dim))
-        x2s = np.zeros((S, D, self.model.dim))
-        N = corpus.total_frames
-        C = self.cfg.chunk_frames
-        for start in range(0, N, C):
-            end = min(start + C, N)
-            feats = np.zeros((C, self.model.dim), np.float32)
-            feats[: end - start] = corpus.features[start:end]
-            states = np.zeros(C, np.int32)
-            states[: end - start] = alignment[start:end]
-            mask = np.zeros(C, np.float32)
-            mask[: end - start] = 1.0
-            cw, cxs, cx2s = accumulate_chunk(
-                pack, jnp.asarray(feats), jnp.asarray(states),
-                jnp.asarray(mask), first_pass)
-            w += np.asarray(cw)
-            xs += np.asarray(cxs)
-            x2s += np.asarray(cx2s)
-        self.model.apply_statistics(w, xs, x2s)
+        w, xs, x2s = em_accumulate_corpus(
+            pack, chunks, self._states_chunks(alignment), mask, first_pass)
+        self.model.apply_statistics(np.asarray(w), np.asarray(xs),
+                                    np.asarray(x2s))
+        self.phase_seconds["estimate"] += time.perf_counter() - t0
 
     def calc_am_score(self, corpus: Corpus, alignment: np.ndarray) -> float:
         """Average per-frame score under the current alignment
         (reference: Training.cpp:585-612)."""
+        t0 = time.perf_counter()
+        chunks, mask = self._device_corpus(corpus)
         pack = self.model.pack(dtype=self.dtype)
-        total = 0.0
-        N = corpus.total_frames
-        C = self.cfg.chunk_frames
-        for start in range(0, N, C):
-            end = min(start + C, N)
-            feats = jnp.asarray(corpus.features[start:end])
-            sc = am_scores(pack, feats)  # [n, S]
-            states = jnp.asarray(alignment[start:end].astype(np.int32))
-            frame_scores = jnp.take_along_axis(sc, states[:, None], axis=1)[:, 0]
-            total += float(frame_scores.astype(jnp.float64).sum())
-        return total / N
+        total = float(em_am_score_corpus(
+            pack, chunks, self._states_chunks(alignment), mask))
+        self.phase_seconds["score"] += time.perf_counter() - t0
+        return total / corpus.total_frames
 
     def _realign(self, corpus: Corpus, tables_all: AlignerTables,
                  alignment: np.ndarray) -> None:
+        t0 = time.perf_counter()
+        self._device_corpus(corpus)
         pack = self.model.pack(dtype=self.dtype)
         thr = self.cfg.pruning_threshold if self.cfg.alignment_pruning else None
         order = np.argsort(corpus.lengths, kind="stable")
@@ -147,7 +171,15 @@ class Trainer:
                 ids.append(ids[-1])
             max_len = max(corpus.seq_length(s) for s in ids)
             T = -(-max_len // 32) * 32
-            feats, lens = corpus.padded_batch(ids, pad_to=T)
+            # gather the padded batch on device from the resident store
+            # (only the [B, T] index array crosses the host boundary)
+            offs = corpus.feature_offsets[ids][:, None]
+            lens = np.minimum(corpus.lengths[ids], T).astype(np.int32)
+            idx = offs + np.arange(T)[None, :]
+            idx = np.where(np.arange(T)[None, :] < lens[:, None], idx, 0)
+            feats = self._dev_flat[jnp.asarray(idx)]
+            feats = feats * (jnp.arange(T)[None, :, None]
+                             < jnp.asarray(lens)[:, None, None])
             tables = AlignerTables(states=tables_all.states[ids],
                                    lengths=tables_all.lengths[ids],
                                    tdp=tables_all.tdp[ids])
@@ -157,6 +189,7 @@ class Trainer:
             for b, s in enumerate(ids[:n_real]):
                 o = corpus.feature_offsets[s]
                 alignment[o: o + lens[b]] = states[b, : lens[b]]
+        self.phase_seconds["align"] += time.perf_counter() - t0
 
     # -- the outer loop ------------------------------------------------------
 
@@ -176,12 +209,23 @@ class Trainer:
             return alignment
 
         # linear segmentation (energy-based initial alignment)
-        seg_fn = (linear_segmentation_approximation
-                  if cfg.approx_linear_segmentation
-                  else linear_segmentation_running_sums)
+        variant = cfg.segmentation_variant or (
+            "approx" if cfg.approx_linear_segmentation else "running-sums")
         for s in range(corpus.num_segments):
             energy = corpus.feature_sequence(s)[:, 0]
-            b1, b2 = seg_fn(energy)
+            if variant == "approx":
+                b1, b2 = linear_segmentation_approximation(energy)
+            elif variant == "running-sums":
+                b1, b2 = linear_segmentation_running_sums(energy)
+            elif variant == "full-dp":
+                # bug-compatible one-past-the-end mean: the next segment's
+                # first energy in the flat store (Training.cpp:301)
+                o_end = corpus.feature_offsets[s] + energy.shape[0]
+                nxt = (float(corpus.features[o_end, 0])
+                       if o_end < corpus.total_frames else 0.0)
+                b1, b2 = linear_segmentation_full_dp(energy, next_energy=nxt)
+            else:
+                raise ValueError(f"unknown segmentation variant: {variant}")
             o = corpus.feature_offsets[s]
             alignment[o: o + energy.shape[0]] = linear_alignment_mapping(
                 automata[s].states, energy.shape[0], b1, b2)
@@ -271,6 +315,10 @@ class Trainer:
         if self.cfg.training_stats_path:
             with open(self.cfg.training_stats_path, "w") as f:
                 f.write("\n".join(self.stats_lines) + "\n")
+        # per-phase timer report (reference: Training.cpp:230-234)
+        self.log(f"Estimation  took {self.phase_seconds['estimate']:.1f} seconds")
+        self.log(f"Alignment   took {self.phase_seconds['align']:.1f} seconds")
+        self.log(f"Score comp. took {self.phase_seconds['score']:.1f} seconds")
         self.log(f"Training took {time.perf_counter() - t_start:.1f} seconds")
 
     def _stat(self, line: str) -> None:
