@@ -38,17 +38,41 @@ class StateTypeTdp:
 
 @dataclass
 class TransitionModel:
-    """Per-state-type TDPs (Am/TransitionModel.hh:64-76)."""
+    """Per-state-type TDPs: {entry-m1, entry-m2, silence, phone0, phone1}
+    × {loop, forward, skip, exit} (Am/TransitionModel.hh:64-76).
+
+    ``default`` is phone0 (config select "state-0",
+    GlobalTransitionModel ctor TransitionModel.cc:677-687); ``phone1``
+    ("state-1") applies to odd repetition sub-states
+    (classify() = phone0 + subState, TransitionModel.hh:120-124) and
+    falls back to phone0 when not configured. entry-m2 is parsed and
+    range-checked like the reference, whose Applicator only ever
+    assigns entry-m1 weights to word-start states
+    (TransitionModel.cc:395,564,615) — so it influences nothing here
+    either, by fidelity rather than omission."""
 
     default: StateTypeTdp
     silence: StateTypeTdp
     entry_m1: StateTypeTdp
     entry_m2: StateTypeTdp
     scale: float = 1.0
+    phone1: Optional[StateTypeTdp] = None
 
     def state_tdp(self, state_type: str) -> StateTypeTdp:
         return {"silence": self.silence, "entry-m1": self.entry_m1,
-                "entry-m2": self.entry_m2}.get(state_type, self.default)
+                "entry-m2": self.entry_m2,
+                "phone1": self.phone1 or self.default}.get(
+                    state_type, self.default)
+
+    def _slot_tdp(self, is_silence_word: bool, slot: int,
+                  state_repetitions: int) -> StateTypeTdp:
+        """TDP row of a source slot: silence states → silence; phone
+        states → phone0/phone1 by repetition sub-state."""
+        if is_silence_word:
+            return self.silence
+        if state_repetitions > 1 and (slot % state_repetitions) == 1:
+            return self.phone1 or self.default
+        return self.default
 
     def decoder_tables(self, lexicon: Lexicon,
                        state_repetitions: int = 1) -> "object":
@@ -81,11 +105,8 @@ class TransitionModel:
         src_tdp = np.full((W, P, 3), float(BIG))
         for w in range(W):
             for s in range(int(word_len[w])):
-                if w == lexicon.silence_idx:
-                    t = self.silence
-                else:
-                    t = self.default  # phone0/phone1 share the wildcard TDPs
-                    _ = state_repetitions  # sub-state split not configured
+                t = self._slot_tdp(w == lexicon.silence_idx, s,
+                                   state_repetitions)
                 src_tdp[w, s] = [clean(t.loop), clean(t.forward), clean(t.skip)]
 
         # charge into slot s via jump j from source slot s-j
@@ -111,13 +132,74 @@ class TransitionModel:
 
         exit_pen = np.zeros(W)
         for w in range(W):
-            t = self.silence if w == lexicon.silence_idx else self.default
+            # the exit TDP is charged when leaving the word's LAST state,
+            # with that state's own type (Applicator::doExit weight(current,
+            # exit), TransitionModel.cc:557-566)
+            t = self._slot_tdp(w == lexicon.silence_idx,
+                               int(word_len[w]) - 1, state_repetitions)
             exit_pen[w] = clean(t.exit)
 
         return DecoderTables(
             state_table=state_table, word_len=word_len, last_pos=last_pos,
             first_state=first_state, tdp_within=tdp_within,
             entry_pen=entry_pen, num_words=W, max_pos=P, exit_pen=exit_pen)
+
+    def tree_tables(self, lexicon: Lexicon,
+                    state_repetitions: int = 1) -> "object":
+        """Prefix-tree tables with Sprint transition semantics: per-node
+        loop by the node's own type, forward/skip by the *source* node's
+        type, word entries via entry-m1 forward/skip, and per-type exit
+        TDPs at word-end nodes — the tree-search analogue of
+        decoder_tables (consumed by search.tree_decoder /
+        search.wcts)."""
+        from ..search.decoder import BIG
+        from ..search.tree_decoder import TreeTables
+
+        base = TreeTables.build(lexicon, _ZeroTdp(), word_penalty=0.0)
+        N = base.num_nodes
+        scale = self.scale
+
+        def clean(v: float) -> float:
+            return float(BIG) if not np.isfinite(v) else scale * v
+
+        # per-node state type from the word/slot that created each node:
+        # walk every word's path again (shared prefixes agree on depth,
+        # hence on repetition sub-state; silence shares with nobody)
+        node_type: List[Optional[StateTypeTdp]] = [None] * N
+        children = _tree_children(base)
+        for w in range(lexicon.num_words):
+            seq = lexicon.get_automaton_for_word(w).states
+            node = 0
+            for slot, s in enumerate(seq):
+                node = children[node][int(s)]
+                node_type[node] = self._slot_tdp(
+                    w == lexicon.silence_idx, slot, state_repetitions)
+
+        tdp = np.full((N, 3), float(BIG))
+        exit_pen = np.zeros(N)
+        for n in range(1, N):
+            own = node_type[n]
+            tdp[n, 0] = clean(own.loop)
+            if base.depth[n] == 1:
+                tdp[n, 1] = clean(self.entry_m1.forward)   # entry
+            else:
+                tdp[n, 1] = clean(node_type[base.parent[n]].forward)
+            if base.depth[n] == 2:
+                tdp[n, 2] = clean(self.entry_m1.skip)      # entry skip
+            elif base.depth[n] > 2:
+                tdp[n, 2] = clean(node_type[base.grand[n]].skip)
+            if base.end_word[n] >= 0:
+                exit_pen[n] = clean(own.exit)
+        # Sprint topology: every emitting state may loop, including word
+        # ends (the exit TDP is charged separately) — unlike SieTill's
+        # pruned decoder which parks word-end hypotheses
+        loop_allowed = np.ones(N, bool)
+        loop_allowed[0] = False
+        return TreeTables(
+            state=base.state, parent=base.parent, grand=base.grand,
+            depth=base.depth, tdp=tdp, loop_allowed=loop_allowed,
+            end_word=base.end_word, exit_penalty=exit_pen,
+            num_nodes=N, num_words=base.num_words, end_node=base.end_node)
 
     @staticmethod
     def from_config(cfg: SprintConfig, prefix: str = "x.acoustic-model.tdp",
@@ -130,11 +212,31 @@ class TransitionModel:
                 skip=cfg.get_float(f"{base}.skip", 0.0),
                 exit=cfg.get_float(f"{base}.exit", 0.0))
         return TransitionModel(
-            default=read("anything"),  # resolved via the *.loop wildcards
+            # config selects per GlobalTransitionModel
+            # (TransitionModel.cc:677-687); wildcard [*.tdp.*] rows
+            # resolve identically for state-0/state-1
+            default=read("state-0"),
             silence=read("silence"),
             entry_m1=read("entry-m1"),
             entry_m2=read("entry-m2"),
+            phone1=read("state-1"),
             scale=cfg.get_float(f"{prefix}.scale", 1.0))
+
+
+class _ZeroTdp:
+    """Placeholder TdpModel for structural TreeTables builds (the Sprint
+    TDP rows are overwritten afterwards)."""
+
+    def table_for_states(self, states: np.ndarray) -> np.ndarray:
+        return np.zeros(states.shape + (3,), np.float64)
+
+
+def _tree_children(tables) -> List[Dict[int, int]]:
+    """Rebuild the child maps of a flattened TreeTables trie."""
+    children: List[Dict[int, int]] = [dict() for _ in range(tables.num_nodes)]
+    for n in range(1, tables.num_nodes):
+        children[int(tables.parent[n])][int(tables.state[n])] = n
+    return children
 
 
 @dataclass

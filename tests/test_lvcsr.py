@@ -248,44 +248,22 @@ def test_an4_wcts_lookahead_decode(an4_arpa_setup):
     assert wer_tree <= wer_lin + 2.0, (wer_tree, wer_lin)
 
 
-def test_sprint_transition_decoder_tables_brute_force():
-    """tm.decoder_tables decode == brute-force Viterbi with Sprint
-    source-state TDP charging, entry-m1 entries and exit-at-word-end."""
-    from speechrecognition_tpu.lexicon import Lexicon
-    from speechrecognition_tpu.search.decoder import decode_batch
-    from speechrecognition_tpu.sprint.am import StateTypeTdp, TransitionModel
-
-    lex = Lexicon()
-    lex.add_word("[silence]", 1, 1, silence=True)
-    lex.add_word("a", 3, 1)
-    lex.add_word("b", 2, 1)
-    S = lex.num_states
-    W = lex.num_words
-
-    tm = TransitionModel(
-        default=StateTypeTdp(loop=3.0, forward=0.0, skip=12.0, exit=9.0),
-        silence=StateTypeTdp(loop=1.5, forward=0.0, skip=float("inf"),
-                             exit=2.0),
-        entry_m1=StateTypeTdp(loop=float("inf"), forward=1.0, skip=7.0),
-        entry_m2=StateTypeTdp())
-    tables = tm.decoder_tables(lex)
-
-    rng = np.random.default_rng(7)
-    T = 14
-    am = rng.uniform(0.0, 10.0, size=(1, T, S))
-
-    # brute-force DP with traceback, max-approx over word sequences
+def _sprint_brute_force(lex, tm, am, T, state_repetitions=1):
+    """Reference-semantics path enumerator: Sprint source-state TDP
+    charging per repetition sub-state (phone0/phone1/silence), entry-m1
+    entries, exit TDP of the word's last state at word end."""
     BIG = 1e30
+    W = lex.num_words
     state_table = lex.state_table()
     word_len = lex.word_lengths()
     P = lex.max_positions
 
-    def tdp_of(w):
-        return tm.silence if w == lex.silence_idx else tm.default
+    def tdp_of(w, slot):
+        return tm._slot_tdp(w == lex.silence_idx, slot, state_repetitions)
 
     hyp = np.full((W, P), BIG)
     bkp = np.zeros((W, P), np.int64)
-    book, book_bkp = 0.0, 0
+    book = 0.0
     frame_word, frame_bkp = [], []
     for t in range(T):
         new = np.full((W, P), BIG)
@@ -297,7 +275,7 @@ def test_sprint_transition_decoder_tables_brute_force():
                                  (p - 2, "skip")):
                     if sp < 0 or hyp[w, sp] >= BIG / 2:
                         continue
-                    pen = getattr(tdp_of(w), kind)
+                    pen = getattr(tdp_of(w, sp), kind)
                     if np.isfinite(pen):
                         cands.append((hyp[w, sp] + pen, bkp[w, sp]))
                 if p == 0 and np.isfinite(tm.entry_m1.forward):
@@ -309,14 +287,13 @@ def test_sprint_transition_decoder_tables_brute_force():
                     new[w, p] = sc + am[0, t, state_table[w, p]]
                     nbk[w, p] = bk
         hyp, bkp = new, nbk
-        ends = [hyp[w, int(word_len[w]) - 1] + tdp_of(w).exit
-                for w in range(W)]
+        ends = [hyp[w, int(word_len[w]) - 1]
+                + tdp_of(w, int(word_len[w]) - 1).exit for w in range(W)]
         bw = int(np.argmin(ends))
         book = ends[bw]
         frame_word.append(bw)
         frame_bkp.append(int(bkp[bw, int(word_len[bw]) - 1]))
 
-    # traceback (decode_batch convention: skip silence)
     want, t = [], T
     while t > 0:
         w = frame_word[t - 1]
@@ -324,12 +301,70 @@ def test_sprint_transition_decoder_tables_brute_force():
             want.append(w)
         t = frame_bkp[t - 1]
     want.reverse()
+    return want
+
+
+def _sprint_test_setup(state_repetitions=1):
+    from speechrecognition_tpu.lexicon import Lexicon
+    from speechrecognition_tpu.sprint.am import StateTypeTdp, TransitionModel
+
+    lex = Lexicon()
+    r = state_repetitions
+    lex.add_word("[silence]", 1, r, silence=True)
+    lex.add_word("a", 3, r)
+    lex.add_word("b", 2, r)
+
+    tm = TransitionModel(
+        default=StateTypeTdp(loop=3.0, forward=0.0, skip=12.0, exit=9.0),
+        silence=StateTypeTdp(loop=1.5, forward=0.0, skip=float("inf"),
+                             exit=2.0),
+        entry_m1=StateTypeTdp(loop=float("inf"), forward=1.0, skip=7.0),
+        entry_m2=StateTypeTdp(),
+        phone1=StateTypeTdp(loop=4.5, forward=0.5, skip=11.0, exit=8.0)
+        if r > 1 else None)
+    return lex, tm
+
+
+@pytest.mark.parametrize("reps", [1, 2])
+def test_sprint_transition_decoder_tables_brute_force(reps):
+    """tm.decoder_tables decode == brute-force Viterbi with Sprint
+    source-state TDP charging (incl. phone1 on odd sub-states),
+    entry-m1 entries and exit-at-word-end."""
+    from speechrecognition_tpu.search.decoder import decode_batch
+
+    lex, tm = _sprint_test_setup(reps)
+    tables = tm.decoder_tables(lex, state_repetitions=reps)
+    rng = np.random.default_rng(7)
+    T = 14
+    am = rng.uniform(0.0, 10.0, size=(1, T, lex.num_states))
+    want = _sprint_brute_force(lex, tm, am, T, state_repetitions=reps)
 
     hyps = decode_batch(None, np.zeros((1, T, 1), np.float32),
                         np.asarray([T]), tables, 1e9, lex.silence_idx,
                         prune=False, dtype=jnp.float64,
                         am=jnp.asarray(am))
-    assert hyps[0] == want, (hyps[0], want)
+    assert hyps[0] == want, (reps, hyps[0], want)
+
+
+@pytest.mark.parametrize("reps", [1, 2])
+def test_sprint_transition_tree_tables_brute_force(reps):
+    """tm.tree_tables through the prefix-tree decoder reproduces the same
+    reference-semantics brute force (entry-m1, per-sub-state TDPs, exit
+    at word-end nodes)."""
+    from speechrecognition_tpu.search.tree_decoder import decode_batch_tree
+
+    lex, tm = _sprint_test_setup(reps)
+    tables = tm.tree_tables(lex, state_repetitions=reps)
+    rng = np.random.default_rng(13)
+    T = 17
+    am = rng.uniform(0.0, 10.0, size=(1, T, lex.num_states))
+    want = _sprint_brute_force(lex, tm, am, T, state_repetitions=reps)
+
+    hyps = decode_batch_tree(None, np.zeros((1, T, 1), np.float32),
+                             np.asarray([T]), tables, 1e9, lex.silence_idx,
+                             prune=False, dtype=jnp.float64,
+                             am=jnp.asarray(am))
+    assert hyps[0] == want, (reps, hyps[0], want)
 
 
 def test_mc_scaled_model_combination():
