@@ -81,6 +81,76 @@ def read_slf(path: str, vocab: Sequence[str],
     return WordLattice(num_frames=num_frames, arcs=arcs, silence=silence)
 
 
+def write_slf_context(path: str, lat, vocab: Sequence[str],
+                      utterance: str = "", frame_duration: float = 0.01,
+                      lm_scale: float = 1.0) -> None:
+    """SLF for a ContextLattice: nodes are (frame, context-word) pairs
+    (HTK allows several nodes per time), arcs carry separate acoustic
+    ``a=`` and language-model ``l=`` fields so LM rescoring survives the
+    round trip (HtkWriter.cc emits the same split)."""
+    from .context_lattice import ContextLattice
+
+    assert isinstance(lat, ContextLattice)
+    nodes = lat.nodes()
+    node_of = {n: i for i, n in enumerate(nodes)}
+    opener = gzip.open if path.endswith(".gz") else open
+    with opener(path, "wt") as f:
+        f.write("VERSION=1.0\n")
+        if utterance:
+            f.write(f"UTTERANCE={utterance}\n")
+        f.write(f"lmscale={lm_scale:.2f} wdpenalty=0.00\n")
+        f.write(f"# num_frames={lat.num_frames} num_contexts="
+                f"{lat.num_contexts} silence={lat.silence}\n")
+        f.write(f"N={len(nodes)}\tL={len(lat.arcs)}\n")
+        for (t, c), i in node_of.items():
+            f.write(f"I={i}\tt={t * frame_duration:.2f}\tc={c}\n")
+        for j, a in enumerate(lat.arcs):
+            w = vocab[a.word] if 0 <= a.word < len(vocab) else f"w{a.word}"
+            f.write(f"J={j}\tS={node_of[(a.start, a.pred)]}\t"
+                    f"E={node_of[(a.end, a.word)]}\tW={w}\t"
+                    f"a={-a.am:.6f}\tl={-a.lm:.6f}\n")
+
+
+def read_slf_context(path: str, vocab: Sequence[str],
+                     frame_duration: float = 0.01):
+    """Read a context lattice written by write_slf_context."""
+    from .context_lattice import CArc, ContextLattice
+
+    word_idx = {w: i for i, w in enumerate(vocab)}
+    node: Dict[int, Tuple[int, int]] = {}
+    arcs: List[CArc] = []
+    meta = {"num_frames": 0, "num_contexts": len(vocab) + 1, "silence": 0}
+    opener = gzip.open if path.endswith(".gz") else open
+    with opener(path, "rt") as f:
+        for line in f:
+            line = line.strip()
+            if line.startswith("#"):
+                for tok in line[1:].split():
+                    if "=" in tok:
+                        k, v = tok.split("=", 1)
+                        if k in meta:
+                            meta[k] = int(v)
+                continue
+            if not line:
+                continue
+            fields = dict(tok.split("=", 1) for tok in line.split()
+                          if "=" in tok)
+            if "I" in fields:
+                t = int(round(float(fields.get("t", 0.0)) / frame_duration))
+                node[int(fields["I"])] = (t, int(fields.get("c", 0)))
+            elif "J" in fields:
+                s_t, s_c = node[int(fields["S"])]
+                e_t, e_c = node[int(fields["E"])]
+                arcs.append(CArc(
+                    start=s_t, pred=s_c, end=e_t,
+                    word=word_idx.get(fields["W"], e_c),
+                    am=-float(fields.get("a", 0.0)),
+                    lm=-float(fields.get("l", 0.0))))
+    return ContextLattice(num_frames=meta["num_frames"],
+                          num_contexts=meta["num_contexts"],
+                          arcs=arcs, silence=meta["silence"])
+
+
 # -- lattice archives ----------------------------------------------------------
 
 class LatticeArchive:

@@ -132,7 +132,7 @@ class LookaheadTables:
 
 
 @partial(jax.jit, static_argnames=("prune", "use_lookahead", "state_limit",
-                                   "histogram_bins"))
+                                   "histogram_bins", "emit_ends"))
 def _wcts_scan(am: jnp.ndarray, feat_len: jnp.ndarray,
                state: jnp.ndarray, parent: jnp.ndarray, grand: jnp.ndarray,
                tdp: jnp.ndarray, loop_allowed: jnp.ndarray,
@@ -140,10 +140,17 @@ def _wcts_scan(am: jnp.ndarray, feat_len: jnp.ndarray,
                end_node: jnp.ndarray, lm_ext: jnp.ndarray, la: jnp.ndarray,
                am_threshold: jnp.ndarray, prune: bool = True,
                use_lookahead: bool = False, state_limit: int = 0,
-               histogram_bins: int = 0):
+               histogram_bins: int = 0, emit_ends: bool = False):
     """am [B, T, S]; lm_ext [C, W] (last context row = sentence start);
     la [C, N] lookahead scores (ignored unless use_lookahead).
-    Returns per-frame (book [T,B,W], bkp [T,B,W], pred [T,B,W]);
+    Returns per-frame (book [T,B,W], bkp [T,B,W], pred [T,B,W],
+    offset [T,B]) — offset is the per-frame renormalization subtraction
+    (cumulate to recover absolute scores). With ``emit_ends`` two more
+    outputs follow: the pre-recombination per-context word-end books
+    cand [T,B,C,W] and their boundary frames [T,B,C,W] — every surviving
+    (predecessor, word, end-frame) hypothesis, i.e. the raw material of a
+    search-derived lattice with exact arc scores
+    (Lattice/Lattice.hh word boundaries; Flf lattice generation).
     pred == C−1 marks entries from the virtual start."""
     B, T, S = am.shape
     dtype = am.dtype
@@ -240,13 +247,15 @@ def _wcts_scan(am: jnp.ndarray, feat_len: jnp.ndarray,
         hyp_out = jnp.where(alive[:, None, None], new, hyp)
         bkp_out = jnp.where(alive[:, None, None], nbkp, bkp)
         book_out = jnp.where(alive[:, None], book_new, book_prev)
-        return ((hyp_out, bkp_out, book_out),
-                (book_new, book_bkp, pred_new))
+        outs = (book_new, book_bkp, pred_new, best[:, 0, 0])
+        if emit_ends:
+            outs = outs + (cand, ends_bkp)
+        return (hyp_out, bkp_out, book_out), outs
 
-    _, (books, bkps, preds) = jax.lax.scan(
+    _, outs = jax.lax.scan(
         step, (hyp0, bkp0, book0),
         (jnp.moveaxis(am, 1, 0), jnp.arange(1, T + 1)))
-    return books, bkps, preds
+    return outs
 
 
 def decode_batch_wcts(pack: gmm_mod.ScorePack, feats: np.ndarray,
@@ -258,12 +267,16 @@ def decode_batch_wcts(pack: gmm_mod.ScorePack, feats: np.ndarray,
                       lookahead: Optional[LookaheadTables] = None,
                       state_limit: int = 0,
                       histogram_bins: int = DEFAULT_BINS,
-                      dtype=jnp.float32) -> List[List[int]]:
+                      dtype=jnp.float32, emit_lattice: bool = False):
     """Word-conditioned tree decode → word sequences (silence removed).
 
     Build `tables` with word_penalty=0 — all word costs live in
     lm_matrix/lm_start (−log p; fold silence exemptions and word penalties
-    there, exactly as for search/ngram_decoder.decode_batch_bigram)."""
+    there, exactly as for search/ngram_decoder.decode_batch_bigram).
+
+    With ``emit_lattice`` returns (hyps, [ContextLattice per utterance]):
+    search-derived word lattices holding every surviving (predecessor,
+    word, boundary) hypothesis with exact arc scores."""
     B, T, dim = feats.shape
     lm_ext = extend_lm(lm_matrix, lm_start)
     C = lm_ext.shape[0]
@@ -275,7 +288,7 @@ def decode_batch_wcts(pack: gmm_mod.ScorePack, feats: np.ndarray,
     flat = jnp.asarray(feats.reshape(B * T, dim))
     am = gmm_mod.am_scores(pack, flat).reshape(B, T, pack.num_mixtures)
     am = am.astype(dtype)
-    books, bkps, preds = _wcts_scan(
+    outs = _wcts_scan(
         am, jnp.asarray(feat_len, jnp.int32),
         jnp.asarray(tables.state), jnp.asarray(tables.parent),
         jnp.asarray(tables.grand),
@@ -284,10 +297,11 @@ def decode_batch_wcts(pack: gmm_mod.ScorePack, feats: np.ndarray,
         jnp.asarray(tables.end_node), jnp.asarray(lm_ext), jnp.asarray(la),
         jnp.asarray(am_threshold, dtype), prune=prune,
         use_lookahead=lookahead is not None,
-        state_limit=state_limit, histogram_bins=histogram_bins)
-    books_np = np.asarray(books)   # [T, B, W]
-    bkps_np = np.asarray(bkps)
-    preds_np = np.asarray(preds)
+        state_limit=state_limit, histogram_bins=histogram_bins,
+        emit_ends=emit_lattice)
+    books_np = np.asarray(outs[0])   # [T, B, W]
+    bkps_np = np.asarray(outs[1])
+    preds_np = np.asarray(outs[2])
 
     out: List[List[int]] = []
     for b in range(B):
@@ -303,4 +317,15 @@ def decode_batch_wcts(pack: gmm_mod.ScorePack, feats: np.ndarray,
             t, w = int(bkps_np[t - 1, b, w]), int(preds_np[t - 1, b, w])
         seq.reverse()
         out.append(seq)
-    return out
+    if not emit_lattice:
+        return out
+
+    from .context_lattice import ContextLattice
+    offsets_np = np.asarray(outs[3])        # [T, B]
+    cands_np = np.asarray(outs[4])          # [T, B, C, W]
+    ebkps_np = np.asarray(outs[5])
+    lats = [ContextLattice.from_wcts(
+        books_np[:, b], cands_np[:, b], ebkps_np[:, b], offsets_np[:, b],
+        int(feat_len[b]), np.asarray(lm_ext), silence_idx)
+        for b in range(B)]
+    return out, lats

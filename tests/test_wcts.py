@@ -160,7 +160,7 @@ def test_histogram_pruning_ranks_by_prospect():
     lm_ext = jnp.asarray(np.tile(np.array([0.0, 100.0]), (3, 1)))
     la = jnp.asarray(np.tile(np.array([0.0, 0.0, 100.0]), (3, 1)))
 
-    books, _bkps, _preds = _wcts_scan(
+    books, _bkps, _preds, _off = _wcts_scan(
         am, feat_len, state, parent, grand, tdp, loop_allowed,
         entry_state, entry_pen, end_node, lm_ext, la,
         jnp.asarray(200.0), prune=True, use_lookahead=True,

@@ -25,6 +25,8 @@ def main():
     ap.add_argument("--method", default="mxu", choices=["pallas", "mxu"])
     ap.add_argument("--dtype", default="f32", choices=["f32", "f64", "df32"])
     ap.add_argument("--batch-size", type=int, default=512)
+    ap.add_argument("--model", default="",
+                    help="mixture-set path (default: bench/model.mix)")
     ap.add_argument("--buckets", default="",
                     help="comma-separated T buckets (fewer = fewer compiles)")
     args = ap.parse_args()
@@ -53,7 +55,7 @@ def main():
     corpus = Corpus.read(desc, "/root/reference/data/new_features/",
                          SignalAnalysisConfig(),
                          normalization_path="/root/reference/src/sietill/Normalization-eugen.bin")
-    raw = read_mixture_set(os.path.join(REPO, "bench/model.mix"), 25)
+    raw = read_mixture_set(args.model or os.path.join(REPO, "bench/model.mix"), 25)
     model = MixtureModel.from_raw(raw, VarianceModel.from_string(cfgm["pooling"]),
                                   max_approx=True)
     if args.dtype == "df32":
