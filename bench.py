@@ -109,11 +109,39 @@ def main():
     log(f"decode {res['time']:.2f}s for {res['audio_seconds']:.0f}s audio "
         f"→ {res['audio_seconds']/res['time']:.0f} audio-s/s, RTF {rtf:.6f}")
 
+    # scaling report (BASELINE.md: audio-s/s per chip at 1 chip / 1 host /
+    # N hosts). On this 1-chip tunnel the first two rows coincide; the
+    # N-host path is exercised by tests/test_multihost.py (2 processes).
+    n_local = len(jax.local_devices())
+    n_hosts = jax.process_count()
+    rows = [{"row": "1 chip", "chips": 1,
+             "audio_s_per_s_per_chip": res["audio_seconds"] / res["time"]}]
+    rows.append({"row": "1 host", "chips": n_local,
+                 "audio_s_per_s_per_chip":
+                     res["audio_seconds"] / res["time"] / n_local})
+    if n_hosts > 1:
+        rows.append({"row": f"{n_hosts} hosts", "chips": n_local * n_hosts,
+                     "audio_s_per_s_per_chip":
+                         res["audio_seconds"] / res["time"] / n_local})
+    for r in rows:
+        log(f"scaling: {r['row']:>8s}  "
+            f"{r['audio_s_per_s_per_chip']:.0f} audio-s/s per chip")
+
+    train_meta = {}
+    if meta.get("train_seconds"):
+        train_meta = {"train_s": meta["train_seconds"],
+                      "train_vs_baseline":
+                          meta.get("train_baseline_seconds", 668.1)
+                          / meta["train_seconds"]}
+        log(f"train: {meta['train_seconds']:.1f}s (framework EM, reference "
+            f"{meta.get('train_baseline_seconds', 668.1)}s)")
+
     print(json.dumps({
         "metric": "decode_rtf_per_chip",
         "value": rtf,
         "unit": "rtf",
         "vs_baseline": BASELINE_RTF / rtf,
+        **train_meta,
     }))
 
 

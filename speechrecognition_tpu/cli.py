@@ -29,6 +29,15 @@ def main(argv=None) -> int:
         print("Usage: python -m speechrecognition_tpu.cli <config-file> [action]",
               file=sys.stderr)
         return 1
+    # Environment plugins may force their platform over the JAX_PLATFORMS
+    # env (e.g. a TPU-tunnel sitecustomize setting jax_platforms="axon,cpu"
+    # after import) — re-assert the user's choice so `JAX_PLATFORMS=cpu
+    # python -m speechrecognition_tpu.cli ...` really runs on CPU.
+    import os
+    plat = os.environ.get("JAX_PLATFORMS")
+    if plat:
+        import jax
+        jax.config.update("jax_platforms", plat)
     config = Configuration(argv[0])
     action = argv[1] if len(argv) >= 2 else ParameterString("action", "")(config)
 

@@ -603,6 +603,24 @@ def accumulate_chunk(pack: ScorePack, feats: jnp.ndarray, states: jnp.ndarray,
     return w, xs, x2s
 
 
+def aligned_density_scores(pack: ScorePack, feats: jnp.ndarray,
+                           states: jnp.ndarray) -> jnp.ndarray:
+    """Per-density scores of each frame's ALIGNED mixture only:
+    [N, dim] × int32 [N] → [N, D].
+
+    The E-step and AM-score passes under a fixed alignment never look at
+    the other S−1 mixtures (Mixtures.cpp:296-305 scores only
+    ``mixtures_[aligned]``), so instead of the full [N, S·D] matmul this
+    gathers the aligned mixture's expansion columns ([51, N, D], HBM
+    bandwidth) and contracts — ~S× less arithmetic. Same per-density
+    reduction as the full path (matmul over the 2·dim+1 expansion)."""
+    X = pack.features_expanded(feats.astype(pack.dtype))       # [N, K]
+    K = X.shape[-1]
+    P3 = pack.P.reshape(K, pack.num_mixtures, pack.density_cap)
+    Pg = P3[:, states.astype(jnp.int32), :]                    # [K, N, D]
+    return jnp.einsum("nk,knd->nd", X, Pg)
+
+
 # -- whole-corpus fused EM passes ---------------------------------------------
 # One jitted dispatch per E-step / AM-score pass over device-resident
 # feature chunks: the tunnel-latency killer for full-corpus training
@@ -610,20 +628,48 @@ def accumulate_chunk(pack: ScorePack, feats: jnp.ndarray, states: jnp.ndarray,
 # Training.cpp:44-235 / Mixtures.cpp:278-372).
 
 
-@partial(jax.jit, static_argnames=("first_pass",))
+@partial(jax.jit, static_argnames=("first_pass", "aligned_gather"))
 def em_accumulate_corpus(pack: ScorePack, feats_chunks: jnp.ndarray,
                          states_chunks: jnp.ndarray, mask_chunks: jnp.ndarray,
-                         first_pass: bool):
+                         first_pass: bool, aligned_gather: bool = True):
     """feats_chunks f32 [K, C, dim]; states int32 [K, C]; mask f32 [K, C].
     Returns (w [S,D], xs [S,D,dim], x2s [S,D,dim]) in float64 — identical
-    math to accumulate_chunk, scanned over chunks on device."""
+    math to accumulate_chunk, scanned over chunks on device.
+    ``aligned_gather`` scores only the aligned mixture's densities
+    (aligned_density_scores) instead of the full [C, S·D] product."""
     S, D = pack.num_mixtures, pack.density_cap
     dim = feats_chunks.shape[-1]
+
+    def membership(f, st):
+        if first_pass:
+            return jnp.zeros((f.shape[0], D), pack.dtype).at[:, 0].set(1.0)
+        if aligned_gather:
+            sc_aligned = aligned_density_scores(pack, f, st)
+        else:
+            sc = density_scores(pack, f)
+            sc_aligned = jnp.take_along_axis(
+                sc, st[:, None, None].astype(jnp.int32), axis=1)[:, 0]
+        if pack.max_approx:
+            return jax.nn.one_hot(jnp.argmin(sc_aligned, axis=-1), D,
+                                  dtype=pack.dtype)
+        shifted = sc_aligned - sc_aligned.min(axis=-1, keepdims=True)
+        p = jnp.exp(-shifted)
+        p = p / p.sum(axis=-1, keepdims=True)
+        return jnp.where(p < MEMBERSHIP_EPS, 0.0, p)
 
     def body(carry, inp):
         w, xs, x2s = carry
         f, st, m = inp
-        cw, cxs, cx2s = accumulate_chunk(pack, f, st, m, first_pass)
+        gamma = membership(f, st) * m[:, None].astype(pack.dtype)
+        ids = st.astype(jnp.int32)
+        gamma64 = gamma.astype(jnp.float64)
+        f64 = f.astype(jnp.float64)
+        cw = jax.ops.segment_sum(gamma64, ids, num_segments=S)
+        cxs = jax.ops.segment_sum(gamma64[:, :, None] * f64[:, None, :], ids,
+                                  num_segments=S)
+        cx2s = jax.ops.segment_sum(
+            gamma64[:, :, None] * (f64 * f64)[:, None, :], ids,
+            num_segments=S)
         return (w + cw, xs + cxs, x2s + cx2s), None
 
     init = (jnp.zeros((S, D), jnp.float64),
@@ -634,17 +680,29 @@ def em_accumulate_corpus(pack: ScorePack, feats_chunks: jnp.ndarray,
     return w, xs, x2s
 
 
-@jax.jit
+@partial(jax.jit, static_argnames=("aligned_gather",))
 def em_am_score_corpus(pack: ScorePack, feats_chunks: jnp.ndarray,
-                       states_chunks: jnp.ndarray, mask_chunks: jnp.ndarray):
+                       states_chunks: jnp.ndarray, mask_chunks: jnp.ndarray,
+                       aligned_gather: bool = True):
     """Sum of per-frame mixture scores under the alignment
     (Training.cpp:585-612), one device dispatch for the whole corpus."""
 
     def body(total, inp):
         f, st, m = inp
-        sc = mixture_scores_from_density(pack, density_scores(pack, f))
-        fs = jnp.take_along_axis(sc, st[:, None].astype(jnp.int32),
-                                 axis=1)[:, 0]
+        if aligned_gather:
+            sc_aligned = aligned_density_scores(pack, f, st)  # [C, D]
+            if pack.max_approx:
+                # padded slots carry the huge INACTIVE_SCORE constant in
+                # their expansion column — no explicit mask needed
+                fs = jnp.minimum(sc_aligned.min(axis=-1), MIN_SCORE_INIT)
+            else:
+                neg = jnp.where(pack.active[st.astype(jnp.int32)],
+                                -sc_aligned, -jnp.inf)
+                fs = -jax.scipy.special.logsumexp(neg, axis=-1)
+        else:
+            sc = mixture_scores_from_density(pack, density_scores(pack, f))
+            fs = jnp.take_along_axis(sc, st[:, None].astype(jnp.int32),
+                                     axis=1)[:, 0]
         return total + (fs.astype(jnp.float64) * m).sum(), None
 
     total, _ = jax.lax.scan(

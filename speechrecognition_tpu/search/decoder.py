@@ -553,6 +553,10 @@ class Recognizer:
                 ids.append(ids[-1])
             T = self._bucket(max(corpus.seq_length(s) for s in ids))
             feats, lens = corpus.padded_batch(ids, pad_to=T)
+            # padded duplicate slots are masked out (feat_len 0 freezes
+            # their lattice immediately — no redundant tail decodes)
+            lens = np.asarray(lens).copy()
+            lens[n_real:] = 0
             results = self._decode(feats, lens)
             for b, s in enumerate(ids[:n_real]):
                 hyps[s] = results[b]
