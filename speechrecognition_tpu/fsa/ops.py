@@ -343,9 +343,17 @@ def compose(a: Automaton, b: Automaton) -> Automaton:
 
 # -- determinization / minimization (Fsa/Determinize.cc, Minimize.cc) ---------
 
-def determinize(a: Automaton) -> Automaton:
+def determinize(a: Automaton, max_states: int = 200_000) -> Automaton:
     """Weighted subset construction over the tropical semiring (acceptors,
-    eps-free — call remove_epsilons first)."""
+    eps-free — call remove_epsilons first).
+
+    Scale contract: this is an EAGER host-side construction whose result
+    can be exponential in the input (unlike the reference's on-demand
+    ``Fsa::Automaton``, Fsa/Determinize.cc, which materializes states
+    lazily). ``max_states`` bounds the blow-up: exceeding it raises
+    instead of hanging the pipeline. Suitable for lexicon/grammar-scale
+    automata (≤ ~10^5 subset states); LVCSR-scale grammar composition
+    should stay in the dense decoder tables, which never determinize."""
     if not a.is_acceptor():
         raise ValueError("determinize: acceptors only")
     if bool(((a.ilabel == EPS)).any()):
@@ -383,6 +391,12 @@ def determinize(a: Automaton) -> Automaton:
         for lab in sorted(by_label):
             nkey, nw = canon(list(by_label[lab].items()))
             if nkey not in state_id:
+                if len(state_id) >= max_states:
+                    raise RuntimeError(
+                        f"determinize: subset construction exceeded "
+                        f"{max_states} states (input {a.num_states} states/"
+                        f"{a.num_arcs} arcs) — raise max_states or keep the "
+                        f"automaton in lazy/dense form")
                 state_id[nkey] = len(state_id)
                 subsets.append(nkey)
                 stack.append(nkey)

@@ -155,6 +155,16 @@ class CountLM:
             denom = singletons + 2.0 * doubletons
             # tiny corpora may have no singletons/doubletons at some order;
             # fall back to no discounting (pure ML) instead of dividing by 0
+            # — a semantics divergence from LanguageModel.py:238-273 (which
+            # would divide by zero), so make it loud
+            if denom <= 0:
+                import warnings
+
+                warnings.warn(
+                    f"n-gram order {len(self.discounts) + 1}: no singleton/"
+                    f"doubleton counts — absolute discount falls back to 0 "
+                    f"(pure ML), diverging from the reference's d=n1/(n1+2n2)",
+                    stacklevel=2)
             self.discounts.append(singletons / denom if denom > 0 else 0.0)
             level = nxt
 
