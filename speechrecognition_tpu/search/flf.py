@@ -151,6 +151,72 @@ def read_slf_context(path: str, vocab: Sequence[str],
                           arcs=arcs, silence=meta["silence"])
 
 
+# -- Fsa-backed lattice surgery -------------------------------------------------
+# The reference keeps lattices as Fsa pairs (Lattice/Lattice.hh) so every
+# Fsa op is a lattice op; the same bridge here: WordLattice ↔ fsa.Automaton.
+
+
+def push_lattice(lat: WordLattice) -> WordLattice:
+    """Weight pushing toward the initial node (Fsa push / Flf push op):
+    arc scores are re-potentialized with backward distances, path scores
+    unchanged. Topology is preserved, so the result maps back 1:1."""
+    from ..fsa.ops import from_word_lattice, push
+
+    if not lat.arcs:
+        return lat
+    a = from_word_lattice(lat)
+    b = push(a)
+    arcs = [Arc(start=int(b.src[i]), end=int(b.dst[i]),
+                word=int(b.ilabel[i]), score=float(b.weight[i]))
+            for i in range(b.num_arcs)]
+    return WordLattice(num_frames=lat.num_frames, arcs=arcs,
+                       silence=lat.silence)
+
+
+def compose_linear(lat: WordLattice, words: Sequence[int],
+                   ) -> Tuple[float, List[Tuple[int, int, int]]]:
+    """Intersect the lattice with a linear word-sequence acceptor (the
+    Flf compose op against a transcript grammar — the numerator machine
+    of lattice-based discriminative training, Lattice/Rescore.cc /
+    AccuracyFsaBuilder). Silence arcs pass freely between words.
+
+    Returns (best path score, [(start, end, word)]) or (inf, []) when the
+    transcript is not in the lattice."""
+    INF = float("inf")
+    sil = lat.silence
+    n = len(words)
+    # DP over (frame-node, transcript position)
+    best: Dict[Tuple[int, int], float] = {(0, 0): 0.0}
+    back: Dict[Tuple[int, int], Tuple[Tuple[int, int], Arc]] = {}
+    for t in range(1, lat.num_frames + 1):
+        for a in lat.by_end().get(t, []):
+            for (ft, pos), sc in [((a.start, p), best.get((a.start, p), INF))
+                                  for p in range(n + 1)]:
+                if sc == INF:
+                    continue
+                if a.word == sil:
+                    npos = pos
+                elif pos < n and a.word == words[pos]:
+                    npos = pos + 1
+                else:
+                    continue
+                cand = sc + a.score
+                key = (t, npos)
+                if cand < best.get(key, INF):
+                    best[key] = cand
+                    back[key] = ((a.start, pos), a)
+    key = (lat.num_frames, n)
+    if key not in best:
+        return INF, []
+    path: List[Tuple[int, int, int]] = []
+    while key in back:
+        (pk, a) = back[key]
+        path.append((a.start, a.end, a.word))
+        key = pk
+    path.reverse()
+    return best[(lat.num_frames, n)], path
+
+
 # -- lattice archives ----------------------------------------------------------
 
 class LatticeArchive:
@@ -161,22 +227,33 @@ class LatticeArchive:
     INDEX = "archive.index"
 
     def __init__(self, path: str, vocab: Sequence[str],
-                 frame_duration: float = 0.01):
+                 frame_duration: float = 0.01, context: bool = False):
+        """``context=True`` stores ContextLattices (predecessor-labelled
+        nodes, split am/lm arc fields) instead of plain WordLattices."""
         self.path = path
         self.vocab = list(vocab)
         self.frame_duration = frame_duration
+        self.context = context
         os.makedirs(path, exist_ok=True)
 
     def _file(self, name: str) -> str:
         return os.path.join(self.path, name.replace("/", "_") + ".slf.gz")
 
-    def write(self, name: str, lat: WordLattice) -> None:
-        write_slf(self._file(name), lat, self.vocab, utterance=name,
-                  frame_duration=self.frame_duration)
+    def write(self, name: str, lat) -> None:
+        if self.context:
+            write_slf_context(self._file(name), lat, self.vocab,
+                              utterance=name,
+                              frame_duration=self.frame_duration)
+        else:
+            write_slf(self._file(name), lat, self.vocab, utterance=name,
+                      frame_duration=self.frame_duration)
         with open(os.path.join(self.path, self.INDEX), "a") as f:
             f.write(name + "\n")
 
-    def read(self, name: str, silence: int = 0) -> WordLattice:
+    def read(self, name: str, silence: int = 0):
+        if self.context:
+            return read_slf_context(self._file(name), self.vocab,
+                                    frame_duration=self.frame_duration)
         return read_slf(self._file(name), self.vocab,
                         frame_duration=self.frame_duration, silence=silence)
 

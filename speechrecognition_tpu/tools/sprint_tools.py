@@ -140,9 +140,12 @@ def lattice_processor(args: Sequence[str], out=sys.stdout) -> int:
     """lattice-processor <archive-dir> <vocab-file> <op> [args...]
 
     ops: best | n-best <n> | prune <-log-posterior> <out-archive> |
-         cn-decode
-    Vocab file: one word per line (index = word id)."""
-    from ..search.flf import (LatticeArchive, cn_decode, confusion_network)
+         cn-decode | push <out-archive> |
+         compose-linear <transcript-file> | oracle-wer <transcript-file>
+    Vocab file: one word per line (index = word id). Transcript files:
+    "<name>\\t<words...>" per line (words in vocab)."""
+    from ..search.flf import (LatticeArchive, cn_decode, compose_linear,
+                              confusion_network, push_lattice)
     arch_path, vocab_path, op = args[0], args[1], args[2]
     with open(vocab_path) as f:
         vocab = [l.strip() for l in f if l.strip()]
@@ -175,6 +178,30 @@ def lattice_processor(args: Sequence[str], out=sys.stdout) -> int:
             hyp = cn_decode(confusion_network(lat))
             text = " ".join(vocab[w] for w in hyp if w != lat.silence)
             print(f"{name}\t{text}", file=out)
+        return 0
+    if op == "push":
+        dst = LatticeArchive(args[4] if len(args) > 4 else args[3], vocab)
+        for name in names:
+            dst.write(name, push_lattice(arch.read(name)))
+        return 0
+    if op in ("compose-linear", "oracle-wer"):
+        word_idx = {w: i for i, w in enumerate(vocab)}
+        refs = {}
+        with open(args[3]) as f:
+            for line in f:
+                parts = line.rstrip("\n").split("\t")
+                if len(parts) == 2:
+                    refs[parts[0]] = [word_idx[w] for w in parts[1].split()
+                                      if w in word_idx]
+        for name in names:
+            lat = arch.read(name)
+            ref = refs.get(name, [])
+            if op == "compose-linear":
+                score, path = compose_linear(lat, ref)
+                print(f"{name}\t{score:.4f}\t{len(path)} arcs", file=out)
+            else:
+                err, R = lat.oracle_wer(ref)
+                print(f"{name}\t{err}\t{R}", file=out)
         return 0
     print(f"lattice-processor: unknown op {op}", file=sys.stderr)
     return 1

@@ -155,3 +155,54 @@ def test_cn_consensus_on_demo_lattice(lexicon, fixtures_dir, demo_corpus,
         err_cn += edit_distance(ref, hyp_cn).total_count
         total += len(ref)
     assert err_cn <= err_best + max(2, int(0.02 * total)), (err_cn, err_best)
+
+
+def test_push_lattice_preserves_path_scores():
+    from speechrecognition_tpu.search.flf import push_lattice
+
+    lat = toy_lattice()
+    pushed = push_lattice(lat)
+    assert len(pushed.arcs) == len(lat.arcs)
+    w0, s0 = lat.best_path()
+    w1, s1 = pushed.best_path()
+    assert w1 == w0
+    assert s1 == pytest.approx(s0, abs=1e-9)
+    # pushing moves weight forward: the first arc absorbs downstream mass
+    first = min(pushed.arcs, key=lambda a: a.start)
+    assert first.score == pytest.approx(s0, abs=1e-9)
+
+
+def test_compose_linear_transcript():
+    from speechrecognition_tpu.search.flf import compose_linear
+
+    lat = toy_lattice()
+    # transcript through word 3 (the worse middle arc)
+    score, path = compose_linear(lat, [1, 3, 4])
+    assert score == pytest.approx(1.0 + 0.9 + 0.2, abs=1e-9)
+    assert [p[2] for p in path] == [1, 3, 4]
+    # transcript not in the lattice
+    score, path = compose_linear(lat, [1, 1, 4])
+    assert math.isinf(score) and path == []
+    # silence arcs pass freely
+    arcs = lat.arcs + [Arc(8, 9, 0, 0.05), Arc(9, 10, 4, 0.1)]
+    lat2 = WordLattice(num_frames=10, arcs=arcs, silence=0)
+    score2, path2 = compose_linear(lat2, [1, 2, 4])
+    assert score2 == pytest.approx(1.0 + 0.5 + 0.05 + 0.1, abs=1e-9)
+    assert [p[2] for p in path2] == [1, 2, 0, 4]
+
+
+def test_context_lattice_archive(tmp_path):
+    from speechrecognition_tpu.search.context_lattice import (CArc,
+                                                              ContextLattice)
+
+    arcs = [CArc(start=0, pred=5, end=4, word=1, am=1.0, lm=0.2),
+            CArc(start=4, pred=1, end=8, word=2, am=0.5, lm=0.1),
+            CArc(start=4, pred=1, end=8, word=3, am=0.4, lm=0.9)]
+    lat = ContextLattice(num_frames=8, num_contexts=6, arcs=arcs, silence=0)
+    arch = LatticeArchive(str(tmp_path / "ctx"), VOCAB, context=True)
+    arch.write("utt/1", lat)
+    back = arch.read("utt/1")
+    assert back.num_frames == 8 and back.num_contexts == 6
+    assert back.best_words() == lat.best_words()
+    assert sorted((a.start, a.pred, a.end, a.word) for a in back.arcs) == \
+        sorted((a.start, a.pred, a.end, a.word) for a in arcs)
