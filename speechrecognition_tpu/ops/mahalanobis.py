@@ -8,18 +8,21 @@ matmul, models/gmm.py) loses ~1e-4 of the score to cancellation in
 float32; this kernel computes the *centered* form directly on the VPU so
 accumulation happens at the result's own magnitude (~1e-6 error).
 
-Layout: the feature dimension is padded to a full 128-lane vector (padded
-lanes carry a = 0, contributing nothing). Blocks are
+Layout: all three operands are transposed so the feature dimension lies
+on SUBLANES (padded to a multiple of 8; padded rows carry a = 0):
 
-    x  [TILE_N, 128]   one tile of frames
-    mu [TILE_J, 128]   one tile of densities
-    a  [TILE_J, 128]
-    out[TILE_N, TILE_J]
+    x_t  [DIM_PAD, TILE_N]   one tile of frames
+    mu_t [DIM_PAD, TILE_J]   one tile of densities
+    a_t  [DIM_PAD, TILE_J]
+    out  [TILE_N, TILE_J]
 
-and the kernel loops over the TILE_J densities, each iteration doing a
-[TILE_N, 128] broadcast-subtract/square/scale and a lane reduction. All
-tile shapes respect the (8, 128) f32 tiling constraint — a block whose
-last dimension is the raw feature size (25) hangs Mosaic.
+and the kernel runs a ``fori_loop`` over the feature dim with dynamic
+sublane indexing, each step one [TILE_N, TILE_J] broadcast
+subtract/square/scale accumulate. The loop (vs. a 25-step unroll)
+is what keeps the Mosaic schedule small — the unrolled variant took
+~19 minutes to compile. All tile shapes respect the (8, 128) f32 tiling
+constraint — a block whose last dimension is the raw feature size (25)
+hangs Mosaic.
 """
 
 from __future__ import annotations
@@ -39,15 +42,20 @@ TILE_J = 128
 LANES = 128
 
 
-def _kernel(x_ref, mu_t_ref, a_t_ref, out_ref, *, dim: int):
-    # x_ref    [TILE_N, LANES]  frames (feature dim on lanes, zero-padded)
-    # mu_t_ref [DIM_PAD, TILE_J] transposed codebook (densities on lanes)
+def _kernel(x_t_ref, mu_t_ref, a_t_ref, out_ref, *, dim: int):
+    # x_t_ref  [DIM_PAD, TILE_N]  transposed frames (features on sublanes)
+    # mu_t_ref [DIM_PAD, TILE_J]  transposed codebook (densities on lanes)
     # a_t_ref  [DIM_PAD, TILE_J]
-    acc = jnp.zeros((TILE_N, TILE_J), jnp.float32)
-    for i in range(dim):  # static unroll — all indices lane/sublane static
-        d = x_ref[:, i][:, None] - mu_t_ref[i, :][None, :]
-        acc = acc + d * d * a_t_ref[i, :][None, :]
-    out_ref[:, :] = acc
+    #
+    # fori_loop over the feature dim with *dynamic sublane* indexing —
+    # one compiled body instead of a 25-step unrolled broadcast chain,
+    # which took Mosaic ~19 minutes to schedule (ROADMAP round-1 item 3).
+    def body(i, acc):
+        d = x_t_ref[i, :][:, None] - mu_t_ref[i, :][None, :]
+        return acc + d * d * a_t_ref[i, :][None, :]
+
+    out_ref[:, :] = jax.lax.fori_loop(
+        0, dim, body, jnp.zeros((TILE_N, TILE_J), jnp.float32))
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
@@ -65,8 +73,8 @@ def mahalanobis_scores(x: jnp.ndarray, mu: jnp.ndarray, a: jnp.ndarray,
         raise ValueError(f"feature dim {dim} exceeds {LANES} lanes")
 
     DIM_PAD = -(-dim // 8) * 8  # sublane multiple
-    xp = jnp.zeros((Np, LANES), jnp.float32).at[:N, :dim].set(
-        x.astype(jnp.float32))
+    x_t = jnp.zeros((DIM_PAD, Np), jnp.float32).at[:dim, :N].set(
+        x.astype(jnp.float32).T)
     mu_t = jnp.zeros((DIM_PAD, Jp), jnp.float32).at[:dim, :J].set(
         mu.astype(jnp.float32).T)
     a_t = jnp.zeros((DIM_PAD, Jp), jnp.float32).at[:dim, :J].set(
@@ -75,16 +83,16 @@ def mahalanobis_scores(x: jnp.ndarray, mu: jnp.ndarray, a: jnp.ndarray,
     # The package enables x64 globally for host-side parity math; Mosaic
     # requires 32-bit index literals, so trace the kernel without x64.
     with jax.enable_x64(False):
-        out = _call_kernel(xp, mu_t, a_t, Np, Jp, DIM_PAD, dim, interpret)
+        out = _call_kernel(x_t, mu_t, a_t, Np, Jp, DIM_PAD, dim, interpret)
     return out[:N, :J] + c.astype(jnp.float32)[None, :]
 
 
-def _call_kernel(xp, mu_t, a_t, Np, Jp, DIM_PAD, dim, interpret):
+def _call_kernel(x_t, mu_t, a_t, Np, Jp, DIM_PAD, dim, interpret):
     return pl.pallas_call(
         functools.partial(_kernel, dim=dim),
         grid=(Np // TILE_N, Jp // TILE_J),
         in_specs=[
-            pl.BlockSpec((TILE_N, LANES), lambda i, j: (i, 0),
+            pl.BlockSpec((DIM_PAD, TILE_N), lambda i, j: (0, i),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((DIM_PAD, TILE_J), lambda i, j: (0, j),
                          memory_space=pltpu.VMEM),
@@ -96,10 +104,10 @@ def _call_kernel(xp, mu_t, a_t, Np, Jp, DIM_PAD, dim, interpret):
         out_shape=jax.ShapeDtypeStruct((Np, Jp), jnp.float32),
         cost_estimate=pl.CostEstimate(
             flops=3 * Np * Jp * dim,
-            bytes_accessed=4 * (Np * LANES + 2 * DIM_PAD * Jp + Np * Jp),
+            bytes_accessed=4 * (DIM_PAD * Np + 2 * DIM_PAD * Jp + Np * Jp),
             transcendentals=0),
         interpret=interpret,
-    )(xp, mu_t, a_t)
+    )(x_t, mu_t, a_t)
 
 
 def pack_to_mahalanobis(model) -> Tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:

@@ -20,6 +20,7 @@ from __future__ import annotations
 import os
 import time
 from dataclasses import dataclass
+from functools import partial
 from typing import Dict, List, Optional, Tuple
 
 import numpy as np
@@ -149,6 +150,85 @@ class MiniBatchBuilder:
         return feats, targets, mask
 
 
+class DeviceBatcher:
+    """Device-resident minibatch assembly: the flat feature store and the
+    target alignment are uploaded ONCE; each step ships only per-segment
+    metadata (offset/start/length, a few hundred bytes) and the context
+    windows + one-hot targets are gathered inside the jitted train step.
+
+    Semantically identical batches to MiniBatchBuilder.build_batch (same
+    silence truncation, zero-padded context, masked targets) — but with
+    none of the [T, B, 5·D] host→device traffic per batch, which both
+    bottlenecked full-corpus training and accumulated in the remote
+    tunnel client."""
+
+    def __init__(self, builder: MiniBatchBuilder,
+                 buckets: Tuple[int, ...] = (256, 384, 512, 768, 1024, 1600)):
+        import jax.numpy as jnp
+
+        self.b = builder
+        self.buckets = buckets
+        corpus = builder.corpus
+        self.flat = jnp.asarray(corpus.features.astype(np.float32))
+        self.align = jnp.asarray(builder.alignment.astype(np.int32))
+        # precompute silence-truncated (start, stop) per segment
+        n = corpus.num_segments
+        self.seg_start = np.zeros(n, np.int64)
+        self.seg_len = np.zeros(n, np.int64)
+        for s in range(n):
+            o = int(corpus.feature_offsets[s])
+            L = int(corpus.lengths[s])
+            st, sp = builder._boundaries(o, o + L)
+            self.seg_start[s] = o + st
+            self.seg_len[s] = sp - st
+
+    def bucket(self, length: int) -> int:
+        for t in self.buckets:
+            if length <= t:
+                return t
+        return self.buckets[-1]
+
+    def batch_meta(self, batch_index: int, cv: bool):
+        """(base int32 [B], lens int32 [B], T) for one shuffled batch."""
+        segs = self.b.cv_segments if cv else self.b.train_segments
+        ids = segs[batch_index * self.b.batch_size:
+                   (batch_index + 1) * self.b.batch_size]
+        B = self.b.batch_size
+        base = np.zeros(B, np.int64)
+        lens = np.zeros(B, np.int64)
+        base[: len(ids)] = self.seg_start[ids]
+        lens[: len(ids)] = self.seg_len[ids]
+        T = self.bucket(int(lens.max()) if len(ids) else self.buckets[0])
+        lens = np.minimum(lens, T)
+        return base.astype(np.int32), lens.astype(np.int32), T
+
+
+def gather_batch(flat, align, base, lens, T: int, context: int,
+                 num_classes: int):
+    """Device-side build_batch: returns (feats [T,B,(2k+1)D],
+    targets [T,B,C], frame_mask [T,B])."""
+    import jax.numpy as jnp
+
+    D = flat.shape[1]
+    k = context
+    t = jnp.arange(T)[:, None]                       # [T, 1]
+    pos = base[None, :] + t                          # [T, B]
+    frame_mask = (t < lens[None, :]).astype(jnp.float32)
+    cols = []
+    N = flat.shape[0]
+    for delta in range(-k, k + 1):
+        tt = t + delta
+        valid = (tt >= 0) & (tt < lens[None, :])
+        idx = jnp.clip(pos + delta, 0, N - 1)
+        cols.append(flat[idx] * valid[:, :, None])   # [T, B, D]
+    feats = jnp.concatenate(cols, axis=2)            # [T, B, (2k+1)·D]
+    states = align[jnp.clip(pos, 0, N - 1)]          # [T, B]
+    targets = (jax.nn.one_hot(states, num_classes, dtype=jnp.float32)
+               * frame_mask[:, :, None])
+    feats = feats * frame_mask[:, :, None]
+    return feats, targets, frame_mask
+
+
 class NnTrainer:
     def __init__(self, config: Configuration, builder: MiniBatchBuilder,
                  mlp: MLP, log=print):
@@ -162,6 +242,9 @@ class NnTrainer:
         self.stats_path = ParameterString("nn-training-stats-path", "")(config)
         self.method = ParameterString("method", "no")(config)
         self.gradient_check = ParameterBool("gradient-check", True)(config)
+        #: assemble batches on device from the resident corpus (see
+        #: DeviceBatcher); turn off to reproduce host-built batches
+        self.device_batches = ParameterBool("device-batches", True)(config)
         self.seed = ParameterInt("param-init-seed", 498061416)(config)
         upd = ParameterString("updater", "sgd")(config)
         if upd == "sgd":
@@ -204,13 +287,52 @@ class NnTrainer:
 
         return train_step, eval_step
 
+    def _make_gather_steps(self, batcher: DeviceBatcher):
+        """Jitted steps with on-device batch assembly; T is a static
+        bucket so at most len(buckets) variants compile."""
+        mlp, updater = self.mlp, self.updater
+        k = self.builder.context_frames
+        C = self.builder.num_classes
+
+        @partial(jax.jit, static_argnames=("T",))
+        def train_step(params, opt_state, base, lens, T):
+            feats, targets, frame_mask = gather_batch(
+                batcher.flat, batcher.align, base, lens, T, k, C)
+
+            def loss_fn(p):
+                return mlp.loss(p, feats, targets, frame_mask)
+
+            loss, grads = jax.value_and_grad(loss_fn)(params)
+            lp = mlp.log_probs(params, feats)
+            hyp = jnp.argmax(lp, axis=-1)
+            ref = jnp.argmax(targets, axis=-1)
+            errors = ((hyp != ref) * frame_mask).sum()
+            new_params, new_state = updater.update(params, grads, opt_state)
+            return new_params, new_state, loss, errors, frame_mask.sum()
+
+        @partial(jax.jit, static_argnames=("T",))
+        def eval_step(params, base, lens, T):
+            feats, targets, frame_mask = gather_batch(
+                batcher.flat, batcher.align, base, lens, T, k, C)
+            lp = mlp.log_probs(params, feats)
+            hyp = jnp.argmax(lp, axis=-1)
+            ref = jnp.argmax(targets, axis=-1)
+            errors = ((hyp != ref) * frame_mask).sum()
+            return errors, frame_mask.sum()
+
+        return train_step, eval_step
+
     def train(self) -> Dict:
         rng = np.random.default_rng(self.seed)
         params = self.mlp.init_params(rng)
         if self.start_epoch > 1:
             params = self.mlp.load(f"{self.output_dir}/{self.start_epoch - 1}/")
         opt_state = self.updater.init_state(params)
-        train_step, eval_step = self._make_step()
+        batcher = DeviceBatcher(self.builder) if self.device_batches else None
+        if batcher is not None:
+            train_step, eval_step = self._make_gather_steps(batcher)
+        else:
+            train_step, eval_step = self._make_step()
 
         if self.gradient_check:
             f, t, m = self.builder.build_batch(0, cv=False)
@@ -227,15 +349,28 @@ class NnTrainer:
             self.builder.shuffle()
             tot_err = tot_frames = 0.0
             for b in range(self.builder.num_train_batches):
-                f, t, m = self.builder.build_batch(b, cv=False)
-                params, opt_state, loss, err, n = train_step(
-                    params, opt_state, jnp.asarray(f), jnp.asarray(t), jnp.asarray(m))
+                if batcher is not None:
+                    base, lens, T = batcher.batch_meta(b, cv=False)
+                    params, opt_state, loss, err, n = train_step(
+                        params, opt_state, jnp.asarray(base),
+                        jnp.asarray(lens), T=T)
+                else:
+                    f, t, m = self.builder.build_batch(b, cv=False)
+                    params, opt_state, loss, err, n = train_step(
+                        params, opt_state, jnp.asarray(f), jnp.asarray(t),
+                        jnp.asarray(m))
                 tot_err += float(err)
                 tot_frames += float(n)
             cv_err = cv_frames = 0.0
             for b in range(self.builder.num_cv_batches):
-                f, t, m = self.builder.build_batch(b, cv=True)
-                err, n = eval_step(params, jnp.asarray(f), jnp.asarray(t), jnp.asarray(m))
+                if batcher is not None:
+                    base, lens, T = batcher.batch_meta(b, cv=True)
+                    err, n = eval_step(params, jnp.asarray(base),
+                                       jnp.asarray(lens), T=T)
+                else:
+                    f, t, m = self.builder.build_batch(b, cv=True)
+                    err, n = eval_step(params, jnp.asarray(f), jnp.asarray(t),
+                                       jnp.asarray(m))
                 cv_err += float(err)
                 cv_frames += float(n)
             elapsed = time.perf_counter() - t0
@@ -252,7 +387,11 @@ class NnTrainer:
                     self.log(f"newbob: halving learning rate to {lr}")
                     if isinstance(self.updater, SGDUpdater):
                         self.updater.learning_rate = lr
-                        train_step, eval_step = self._make_step()
+                        if batcher is not None:
+                            train_step, eval_step = \
+                                self._make_gather_steps(batcher)
+                        else:
+                            train_step, eval_step = self._make_step()
                 prev_cv = cv_fer
         if self.stats_path:
             os.makedirs(os.path.dirname(self.stats_path) or ".", exist_ok=True)

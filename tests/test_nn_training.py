@@ -129,3 +129,34 @@ def test_hybrid_nn_recognizer_end_to_end(nn_setup, demo_corpus, lexicon,
     # this setup measures ≈20% here)
     assert np.isfinite(res["wer"])
     assert res["wer"] < 40.0, res["wer"]
+
+
+def test_device_batch_matches_host_batch(nn_setup):
+    """The on-device batch assembly (DeviceBatcher + gather_batch) must
+    produce exactly the host-built (T,B,D) batches: same context windows,
+    silence truncation, one-hot targets and masks."""
+    import jax.numpy as jnp
+    from speechrecognition_tpu.train.nn_training import (DeviceBatcher,
+                                                         gather_batch)
+
+    config, builder, mlp, _out = nn_setup
+    batcher = DeviceBatcher(builder)
+    for cv in (False, True):
+        n = builder.num_cv_batches if cv else builder.num_train_batches
+        for b in range(min(n, 2)):
+            f_h, t_h, m_h = builder.build_batch(b, cv=cv)
+            base, lens, T = batcher.batch_meta(b, cv=cv)
+            f_d, t_d, mask_d = gather_batch(
+                batcher.flat, batcher.align, jnp.asarray(base),
+                jnp.asarray(lens), T, builder.context_frames,
+                builder.num_classes)
+            f_d, t_d = np.asarray(f_d), np.asarray(t_d)
+            np.testing.assert_array_equal(lens, np.minimum(m_h, T))
+            # bucketed T may exceed the host batch's global max length (or
+            # vice versa); both pads carry only zeros
+            n = min(T, f_h.shape[0])
+            # + 0.0 normalizes the mask-multiply's −0.0 against the host's 0.0
+            np.testing.assert_array_equal(f_d[:n] + 0.0, f_h[:n] + 0.0)
+            np.testing.assert_array_equal(t_d[:n], t_h[:n])
+            assert np.all(f_h[n:] == 0) and np.all(t_h[n:] == 0)
+            assert np.all(f_d[n:] == 0) and np.all(t_d[n:] == 0)
