@@ -156,6 +156,16 @@ class Trainer:
         self.phase_seconds["score"] += time.perf_counter() - t0
         return total / corpus.total_frames
 
+    #: alignment padding buckets: a handful of (B, T) shapes ever compile
+    #: (arbitrary 32-multiples caused ~40 distinct compiles per corpus)
+    ALIGN_BUCKETS = (320, 640, 960, 1280, 1600)
+
+    def _align_bucket(self, length: int) -> int:
+        for b in self.ALIGN_BUCKETS:
+            if length <= b:
+                return b
+        return -(-length // self.ALIGN_BUCKETS[-1]) * self.ALIGN_BUCKETS[-1]
+
     def _realign(self, corpus: Corpus, tables_all: AlignerTables,
                  alignment: np.ndarray) -> None:
         t0 = time.perf_counter()
@@ -170,7 +180,7 @@ class Trainer:
             while len(ids) < Bsz:            # keep shapes static across batches
                 ids.append(ids[-1])
             max_len = max(corpus.seq_length(s) for s in ids)
-            T = -(-max_len // 32) * 32
+            T = self._align_bucket(max_len)
             # gather the padded batch on device from the resident store
             # (only the [B, T] index array crosses the host boundary)
             offs = corpus.feature_offsets[ids][:, None]

@@ -294,10 +294,13 @@ class NnTrainer:
         k = self.builder.context_frames
         C = self.builder.num_classes
 
+        # the flat store/alignment are jit ARGUMENTS (device arrays passed
+        # by reference), not closure constants — closing over them bakes
+        # ~370 MB into the serialized HLO
         @partial(jax.jit, static_argnames=("T",))
-        def train_step(params, opt_state, base, lens, T):
+        def train_step_impl(params, opt_state, flat, align, base, lens, T):
             feats, targets, frame_mask = gather_batch(
-                batcher.flat, batcher.align, base, lens, T, k, C)
+                flat, align, base, lens, T, k, C)
 
             def loss_fn(p):
                 return mlp.loss(p, feats, targets, frame_mask)
@@ -311,14 +314,22 @@ class NnTrainer:
             return new_params, new_state, loss, errors, frame_mask.sum()
 
         @partial(jax.jit, static_argnames=("T",))
-        def eval_step(params, base, lens, T):
+        def eval_step_impl(params, flat, align, base, lens, T):
             feats, targets, frame_mask = gather_batch(
-                batcher.flat, batcher.align, base, lens, T, k, C)
+                flat, align, base, lens, T, k, C)
             lp = mlp.log_probs(params, feats)
             hyp = jnp.argmax(lp, axis=-1)
             ref = jnp.argmax(targets, axis=-1)
             errors = ((hyp != ref) * frame_mask).sum()
             return errors, frame_mask.sum()
+
+        def train_step(params, opt_state, base, lens, T):
+            return train_step_impl(params, opt_state, batcher.flat,
+                                   batcher.align, base, lens, T=T)
+
+        def eval_step(params, base, lens, T):
+            return eval_step_impl(params, batcher.flat, batcher.align,
+                                  base, lens, T=T)
 
         return train_step, eval_step
 
