@@ -8,10 +8,12 @@ Baseline: the reference C++ decoder at RTF 0.21 single-thread
 (presentation.13-07-2016/main.tex:265). vs_baseline is the speedup factor
 per chip. WER and throughput are reported on stderr for context.
 
-The decode runs in float64 (TPU-emulated), which is verified to produce
-1-best transcripts BIT-IDENTICAL to the reference C++ decoder on all
-13117 test utterances (tools/full_parity.py); float32 is ~20% faster but
-differs on 0.5% of utterances.
+The decode runs in double-float (two-f32 pairs, ops/doublefloat.py) —
+pure f32 device arithmetic that reproduces the reference's
+double-precision decisions: 1-best transcripts BIT-IDENTICAL to the C++
+decoder on all 13117 test utterances (tools/full_parity.py --dtype df32)
+at ~25% less time than TPU-emulated f64 (BENCH_DTYPE=f64|f32 selects the
+other paths; plain f32 differs on ~0.5% of utterances).
 """
 
 import json
@@ -80,7 +82,7 @@ def main():
 
     raw = read_mixture_set(model_path, 25)
     model = MixtureModel.from_raw(raw, pooling, max_approx=True)
-    bench_dtype = os.environ.get("BENCH_DTYPE", "f64")
+    bench_dtype = os.environ.get("BENCH_DTYPE", "df32")
     tdp_vals = meta.get("tdp", [3.0, 0.0, 30.0])
     tdp = TdpModel(silence_state=lex.silence_state, loop=tdp_vals[0],
                    forward=tdp_vals[1], skip=tdp_vals[2])
