@@ -99,12 +99,26 @@ def main():
         pack = model.pack(dtype=dtype)
     rec = Recognizer(config, lex, tdp, pack, dtype=dtype)
 
-    # warmup: compile every (batch, bucket) shape up-front
-    t0 = time.perf_counter()
-    rec.warmup(corpus, batch_size=512)
-    log(f"warmup/compile: {time.perf_counter() - t0:.1f}s")
+    if os.environ.get("BENCH_MESH"):
+        # multi-chip submission as a flag: shard utterance batches over
+        # ALL local devices (parallel/mesh.py). f32 scores on this path;
+        # transcripts are per-utterance so sharding itself changes none.
+        from speechrecognition_tpu.parallel.mesh import (
+            make_mesh, recognize_corpus_sharded)
+        mesh = make_mesh()
+        log(f"sharded decode over {mesh.shape} mesh")
+        f32pack = model.pack(dtype=jnp.float32)
+        res = recognize_corpus_sharded(
+            mesh, f32pack, corpus, rec.tables,
+            meta.get("am_threshold", 200.0), lex.silence_idx,
+            batch_size=512)
+    else:
+        # warmup: compile every (batch, bucket) shape up-front
+        t0 = time.perf_counter()
+        rec.warmup(corpus, batch_size=512)
+        log(f"warmup/compile: {time.perf_counter() - t0:.1f}s")
 
-    res = rec.recognize_corpus(corpus, batch_size=512)
+        res = rec.recognize_corpus(corpus, batch_size=512)
     rtf = res["rtf"]
     log(f"WER {res['wer']:.4f}%  SER {res['ser']:.4f}%  "
         f"S/I/D {res['substitutions']}/{res['insertions']}/{res['deletions']}")

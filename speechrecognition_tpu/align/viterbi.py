@@ -137,30 +137,160 @@ def _align_scan(ams: jnp.ndarray, tdp: jnp.ndarray, pos_valid: jnp.ndarray,
     return positions.astype(jnp.int32), best_costs, final_pos
 
 
+@partial(jax.jit, static_argnames=("tie_pruned", "use_pruning"))
+def _align_scan_df(ams_hi: jnp.ndarray, ams_lo: jnp.ndarray,
+                   tdp_hi: jnp.ndarray, tdp_lo: jnp.ndarray,
+                   pos_valid: jnp.ndarray, feat_len: jnp.ndarray,
+                   aut_len: jnp.ndarray, thr_hi: jnp.ndarray,
+                   thr_lo: jnp.ndarray, tie_pruned: bool = True,
+                   use_pruning: bool = True,
+                   ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Double-float (two-f32) variant of `_align_scan`: carries (hi, lo)
+    score pairs through the scan so every comparison resolves exactly as
+    the reference's C++ double DP would (same EFT toolkit and parity
+    argument as the decoder's df32 path, ops/doublefloat.py)."""
+    from ..ops import doublefloat as dfm
+
+    B, T, A = ams_hi.shape
+    bigf = jnp.float32(BIG)
+    big_row = dfm.DF(jnp.full((B, 1), bigf), jnp.zeros((B, 1), jnp.float32))
+    tdp = dfm.DF(tdp_hi, tdp_lo)
+    thr = dfm.DF(thr_hi, thr_lo)
+    invalid = ~pos_valid
+
+    def big_like(x: jnp.ndarray) -> dfm.DF:
+        return dfm.DF(jnp.full_like(x, bigf), jnp.zeros_like(x))
+
+    init = dfm.where(jnp.arange(A)[None, :] == 0,
+                     dfm.DF(ams_hi[:, 0, :], ams_lo[:, 0, :]),
+                     big_like(ams_hi[:, 0, :]))
+
+    def cat(pad: dfm.DF, x: dfm.DF) -> dfm.DF:
+        return dfm.DF(jnp.concatenate([pad.hi, x.hi], axis=1),
+                      jnp.concatenate([pad.lo, x.lo], axis=1))
+
+    def step(prev_pair, inputs):
+        am_hi_t, am_lo_t, t = inputs
+        prev = dfm.DF(*prev_pair)
+        am_t = dfm.DF(am_hi_t, am_lo_t)
+        c0 = dfm.add(prev, dfm.DF(tdp.hi[:, :, 0], tdp.lo[:, :, 0]))
+        c1 = cat(big_row, dfm.add(dfm.DF(prev.hi[:, :-1], prev.lo[:, :-1]),
+                                  dfm.DF(tdp.hi[:, 1:, 1], tdp.lo[:, 1:, 1])))
+        pad2 = dfm.DF(big_row.hi.repeat(2, 1), big_row.lo.repeat(2, 1))
+        c2 = cat(pad2, dfm.add(dfm.DF(prev.hi[:, :-2], prev.lo[:, :-2]),
+                               dfm.DF(tdp.hi[:, 2:, 2], tdp.lo[:, 2:, 2])))
+        if tie_pruned:  # largest jump wins ties (first writer)
+            best, jump = c2, jnp.full((B, A), 2, jnp.int8)
+            for c, j in ((c1, 1), (c0, 0)):
+                take = dfm.less(c, best)
+                best = dfm.where(take, c, best)
+                jump = jnp.where(take, jnp.int8(j), jump)
+        else:           # loop preferred (full DP, Alignment.cpp:96-113)
+            best, jump = c0, jnp.zeros((B, A), jnp.int8)
+            for c, j in ((c1, 1), (c2, 2)):
+                take = dfm.less(c, best)
+                best = dfm.where(take, c, best)
+                jump = jnp.where(take, jnp.int8(j), jump)
+        cost = dfm.where(invalid, big_like(best.hi), dfm.add(best, am_t))
+        cost = dfm.where(cost.hi >= bigf * 0.5, big_like(cost.hi), cost)
+        # renormalize per frame (shared offset; decisions invariant)
+        row_best = dfm.min_axis(cost, axis=1)
+        row_dead = row_best.hi >= bigf * 0.5
+        row_best = dfm.DF(jnp.where(row_dead, 0.0, row_best.hi)[:, None],
+                          jnp.where(row_dead, 0.0, row_best.lo)[:, None])
+        shifted = dfm.sub(cost, dfm.DF(jnp.broadcast_to(row_best.hi, cost.hi.shape),
+                                       jnp.broadcast_to(row_best.lo, cost.lo.shape)))
+        cost = dfm.where(cost.hi >= bigf * 0.5, big_like(cost.hi), shifted)
+        if use_pruning:
+            over = ~dfm.less_equal(
+                cost, dfm.DF(jnp.broadcast_to(thr.hi, cost.hi.shape),
+                             jnp.broadcast_to(thr.lo, cost.lo.shape)))
+            cost = dfm.where(over, big_like(cost.hi), cost)
+        alive = (t < feat_len)[:, None]
+        cost = dfm.where(alive, cost, prev)
+        return (cost.hi, cost.lo), jump
+
+    (final_hi, final_lo), jumps = jax.lax.scan(
+        step, (init.hi, init.lo),
+        (jnp.moveaxis(ams_hi[:, 1:, :], 1, 0),
+         jnp.moveaxis(ams_lo[:, 1:, :], 1, 0), jnp.arange(1, T)))
+
+    pos_ids = jnp.arange(A)[None, :]
+    finite = final_hi < bigf * 0.5
+    if tie_pruned:
+        final_pos = jnp.max(jnp.where(finite, pos_ids, -1), axis=1)
+        final_pos = jnp.maximum(final_pos, 0).astype(jnp.int32)
+    else:
+        final_pos = (aut_len - 1).astype(jnp.int32)
+    best_costs = (
+        jnp.take_along_axis(final_hi, final_pos[:, None], axis=1)[:, 0]
+        .astype(jnp.float64)
+        + jnp.take_along_axis(final_lo, final_pos[:, None], axis=1)[:, 0]
+        .astype(jnp.float64)
+        if jax.config.read("jax_enable_x64")
+        else jnp.take_along_axis(final_hi, final_pos[:, None], axis=1)[:, 0])
+
+    def back_step(cur, inputs):
+        jump_t, t = inputs
+        active = t <= feat_len - 1
+        emit = cur
+        prev_pos = cur - jnp.take_along_axis(
+            jump_t.astype(jnp.int32), cur[:, None], axis=1)[:, 0]
+        new_cur = jnp.where(active, prev_pos, final_pos)
+        return new_cur, emit
+
+    ts = jnp.arange(T - 1, 0, -1)
+    pos0, rev_positions = jax.lax.scan(back_step, final_pos, (jumps[::-1], ts))
+    positions = jnp.concatenate(
+        [pos0[:, None], rev_positions.T[:, ::-1]], axis=1)
+    return positions.astype(jnp.int32), best_costs, final_pos
+
+
 def align_batch(pack, feats: np.ndarray, feat_len: np.ndarray,
                 tables: AlignerTables, pruning_threshold: Optional[float] = 50.0,
                 tie_pruned: bool = True, dtype=jnp.float32,
                 ) -> Tuple[np.ndarray, np.ndarray]:
     """Align a padded batch. Returns (states int32 [B, T], costs f [B]).
 
-    pack: gmm.ScorePack. feats f32 [B, T, dim] zero-padded, feat_len [B].
-    pruning_threshold None → full DP (no pruning, forced final position).
+    pack: gmm.ScorePack (or gmm.ScorePackDF with dtype="df32"). feats f32
+    [B, T, dim] zero-padded, feat_len [B]. pruning_threshold None → full
+    DP (no pruning, forced final position). dtype "df32" runs acoustic
+    scoring and the DP in double-float pairs — reference-f64 decisions at
+    f32 device speed (the MXU/VPU never see an emulated f64 op).
     """
     from ..models import gmm as gmm_mod
 
     B, T, dim = feats.shape
     flat = jnp.asarray(feats.reshape(B * T, dim))
-    am = gmm_mod.am_scores(pack, flat).reshape(B, T, pack.num_mixtures)
-    am = am.astype(dtype)
     states_tbl = jnp.asarray(tables.states)
-    ams = jnp.take_along_axis(am, states_tbl[:, None, :].astype(jnp.int32), axis=2)
     A = tables.states.shape[1]
     pos_valid = jnp.arange(A)[None, :] < jnp.asarray(tables.lengths)[:, None]
     use_pruning = pruning_threshold is not None
-    thr = jnp.asarray(pruning_threshold if use_pruning else 0.0, dtype)
-    positions, costs, _ = _align_scan(
-        ams, jnp.asarray(tables.tdp, dtype), pos_valid,
-        jnp.asarray(feat_len, jnp.int32), jnp.asarray(tables.lengths, jnp.int32),
-        thr, tie_pruned=tie_pruned, use_pruning=use_pruning)
+
+    if dtype == "df32":
+        from ..ops import doublefloat as dfm
+
+        am = gmm_mod.am_scores_df(pack, flat)
+        S = pack.num_mixtures
+        idx = states_tbl[:, None, :].astype(jnp.int32)
+        ams_hi = jnp.take_along_axis(am.hi.reshape(B, T, S), idx, axis=2)
+        ams_lo = jnp.take_along_axis(am.lo.reshape(B, T, S), idx, axis=2)
+        thr = dfm.from_f64(np.float64(
+            pruning_threshold if use_pruning else 0.0))
+        tdp_df = dfm.from_f64(tables.tdp)
+        positions, costs, _ = _align_scan_df(
+            ams_hi, ams_lo, tdp_df.hi, tdp_df.lo, pos_valid,
+            jnp.asarray(feat_len, jnp.int32),
+            jnp.asarray(tables.lengths, jnp.int32), thr.hi, thr.lo,
+            tie_pruned=tie_pruned, use_pruning=use_pruning)
+    else:
+        am = gmm_mod.am_scores(pack, flat).reshape(B, T, pack.num_mixtures)
+        am = am.astype(dtype)
+        ams = jnp.take_along_axis(am, states_tbl[:, None, :].astype(jnp.int32), axis=2)
+        thr = jnp.asarray(pruning_threshold if use_pruning else 0.0, dtype)
+        positions, costs, _ = _align_scan(
+            ams, jnp.asarray(tables.tdp, dtype), pos_valid,
+            jnp.asarray(feat_len, jnp.int32), jnp.asarray(tables.lengths, jnp.int32),
+            thr, tie_pruned=tie_pruned, use_pruning=use_pruning)
     states = jnp.take_along_axis(states_tbl, positions, axis=1)
     return np.asarray(states), np.asarray(costs)

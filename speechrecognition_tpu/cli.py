@@ -77,10 +77,12 @@ def main(argv=None) -> int:
                                  num_mixtures=lexicon.num_states,
                                  var_model=pooling, max_approx=max_approx)
             # "f64" reproduces the reference's double-precision accumulation
-            # (Mixtures.cpp:590-628) bit-closely; "f32" is the fast TPU path
-            dtype = (jnp.float64
-                     if ParameterString("train-dtype", "f32")(config) == "f64"
-                     else jnp.float32)
+            # (Mixtures.cpp:590-628) bit-closely; "df32" does the same with
+            # two-f32 pairs at f32 device speed (ops/doublefloat.py);
+            # "f32" is the plain fast path
+            dtype_name = ParameterString("train-dtype", "f32")(config)
+            dtype = {"f64": jnp.float64, "df32": "df32"}.get(
+                dtype_name, jnp.float32)
             trainer = Trainer(TrainerConfig.from_config(config), lexicon, model,
                               tdp, max_approx=max_approx, dtype=dtype,
                               log=lambda *a: print(*a, file=sys.stderr))

@@ -603,6 +603,36 @@ def accumulate_chunk(pack: ScorePack, feats: jnp.ndarray, states: jnp.ndarray,
     return w, xs, x2s
 
 
+def aligned_density_scores_df(packdf: ScorePackDF, feats: jnp.ndarray,
+                              states: jnp.ndarray):
+    """Double-float twin of `aligned_density_scores`: [N, dim] × int32 [N]
+    → DF [N, D] scores of the aligned mixture's densities, with exactly
+    `_density_scores_df`'s operation order (so decisions match the decode
+    path's reference-f64 parity argument)."""
+    from ..ops import doublefloat as dfm
+
+    S, D, dim = packdf.num_mixtures, packdf.density_cap, packdf.dim
+    st = states.astype(jnp.int32)
+    mu_hi = packdf.mu.hi.reshape(S, D, dim)[st]    # [N, D, dim]
+    mu_lo = packdf.mu.lo.reshape(S, D, dim)[st]
+    iv_hi = packdf.iv.hi.reshape(S, D, dim)[st]
+    iv_lo = packdf.iv.lo.reshape(S, D, dim)[st]
+    x = feats.astype(jnp.float32)
+    N = x.shape[0]
+    acc = dfm.DF(jnp.zeros((N, D), jnp.float32), jnp.zeros((N, D), jnp.float32))
+    for i in range(dim):
+        mu_i = dfm.DF(mu_hi[:, :, i], mu_lo[:, :, i])
+        iv_i = dfm.DF(iv_hi[:, :, i], iv_lo[:, :, i])
+        diff = dfm.add_f(dfm.neg(mu_i), x[:, i, None])
+        acc = dfm.add(acc, dfm.mul(dfm.mul(diff, diff), iv_i))
+    half = dfm.DF(acc.hi * 0.5, acc.lo * 0.5)
+    score = dfm.add(dfm.DF(packdf.norm.hi.reshape(S, D)[st],
+                           packdf.norm.lo.reshape(S, D)[st]), half)
+    score = dfm.add(score, dfm.neg(dfm.DF(packdf.logw.hi.reshape(S, D)[st],
+                                          packdf.logw.lo.reshape(S, D)[st])))
+    return score
+
+
 def aligned_density_scores(pack: ScorePack, feats: jnp.ndarray,
                            states: jnp.ndarray) -> jnp.ndarray:
     """Per-density scores of each frame's ALIGNED mixture only:
@@ -636,13 +666,27 @@ def em_accumulate_corpus(pack: ScorePack, feats_chunks: jnp.ndarray,
     Returns (w [S,D], xs [S,D,dim], x2s [S,D,dim]) in float64 — identical
     math to accumulate_chunk, scanned over chunks on device.
     ``aligned_gather`` scores only the aligned mixture's densities
-    (aligned_density_scores) instead of the full [C, S·D] product."""
+    (aligned_density_scores) instead of the full [C, S·D] product.
+    ``pack`` may be a ScorePackDF: membership decisions then run in
+    double-float pairs (reference-f64 decisions, f32 device speed)."""
+    is_df = isinstance(pack, ScorePackDF)
     S, D = pack.num_mixtures, pack.density_cap
     dim = feats_chunks.shape[-1]
+    gdtype = jnp.float32 if is_df else pack.dtype
 
     def membership(f, st):
         if first_pass:
-            return jnp.zeros((f.shape[0], D), pack.dtype).at[:, 0].set(1.0)
+            return jnp.zeros((f.shape[0], D), gdtype).at[:, 0].set(1.0)
+        if is_df:
+            if not pack.max_approx:
+                raise NotImplementedError(
+                    "df32 EM covers max-approx membership only")
+            from ..ops import doublefloat as dfm
+            sc = aligned_density_scores_df(pack, f, st)       # DF [C, D]
+            m = dfm.min_axis(sc, axis=-1)
+            eq = (sc.hi == m.hi[:, None]) & (sc.lo == m.lo[:, None])
+            best = jnp.argmax(eq, axis=-1)    # first minimum, like argmin
+            return jax.nn.one_hot(best, D, dtype=gdtype)
         if aligned_gather:
             sc_aligned = aligned_density_scores(pack, f, st)
         else:
@@ -660,7 +704,7 @@ def em_accumulate_corpus(pack: ScorePack, feats_chunks: jnp.ndarray,
     def body(carry, inp):
         w, xs, x2s = carry
         f, st, m = inp
-        gamma = membership(f, st) * m[:, None].astype(pack.dtype)
+        gamma = membership(f, st) * m[:, None].astype(gdtype)
         ids = st.astype(jnp.int32)
         gamma64 = gamma.astype(jnp.float64)
         f64 = f.astype(jnp.float64)
@@ -685,10 +729,25 @@ def em_am_score_corpus(pack: ScorePack, feats_chunks: jnp.ndarray,
                        states_chunks: jnp.ndarray, mask_chunks: jnp.ndarray,
                        aligned_gather: bool = True):
     """Sum of per-frame mixture scores under the alignment
-    (Training.cpp:585-612), one device dispatch for the whole corpus."""
+    (Training.cpp:585-612), one device dispatch for the whole corpus.
+    ``pack`` may be a ScorePackDF (double-float per-frame scores, summed
+    in f64 on the host side of the pair split)."""
+    is_df = isinstance(pack, ScorePackDF)
 
     def body(total, inp):
         f, st, m = inp
+        if is_df:
+            if not pack.max_approx:
+                raise NotImplementedError(
+                    "df32 EM covers max-approx scoring only")
+            from ..ops import doublefloat as dfm
+            sc = aligned_density_scores_df(pack, f, st)       # DF [C, D]
+            mn = dfm.min_axis(sc, axis=-1)
+            capped_hi = jnp.minimum(mn.hi, jnp.float32(MIN_SCORE_INIT))
+            capped_lo = jnp.where(mn.hi < jnp.float32(MIN_SCORE_INIT),
+                                  mn.lo, 0.0)
+            fs64 = capped_hi.astype(jnp.float64) + capped_lo.astype(jnp.float64)
+            return total + (fs64 * m).sum(), None
         if aligned_gather:
             sc_aligned = aligned_density_scores(pack, f, st)  # [C, D]
             if pack.max_approx:

@@ -91,6 +91,109 @@ def decode_sharded(mesh: Mesh, pack, feats: np.ndarray, feat_len: np.ndarray,
     return (np.asarray(scores), np.asarray(words), np.asarray(bkps))
 
 
+@partial(jax.jit, static_argnames=("prune",))
+def _sharded_decode_run(pack, feats_d, len_d, state_table, last_pos, word_len,
+                        first_state, tdp_within, entry_pen, thr, prune=True):
+    """Module-level jit so every batch of the same (B, T) bucket reuses one
+    compiled executable (a closure-per-call jit would recompile per batch)."""
+    from ..models import gmm as gmm_mod
+    from ..search.decoder import _decode_scan
+
+    B, T, dim = feats_d.shape
+    flat = feats_d.reshape(B * T, dim)
+    am = gmm_mod.am_scores(pack, flat).reshape(B, T, pack.num_mixtures)
+    _carry, outs = _decode_scan(
+        am.astype(thr.dtype), len_d, state_table, last_pos, word_len,
+        first_state, tdp_within, entry_pen, thr, prune=prune)
+    return outs
+
+
+def recognize_corpus_sharded(mesh: Mesh, pack, corpus, tables,
+                             am_threshold: float, silence_idx: int,
+                             batch_size: int = 512, dtype=jnp.float32,
+                             max_segments: Optional[int] = None,
+                             buckets: Tuple[int, ...] = (320, 640, 960,
+                                                         1280, 1600)) -> dict:
+    """Whole-corpus decode with utterance batches sharded over the mesh's
+    ``data`` axis — the multi-chip form of `Recognizer.recognize_corpus`
+    (the reference's OpenMP segment loop, Recognizer.cpp:46-79). Returns
+    the same WER/SER/RTF result dict. f32 scores (the df32 bit-parity
+    path is the single-chip `Recognizer`); per-utterance results are
+    independent, so sharding never changes a transcript (tests/
+    test_parallel.py asserts equality against `decode_batch`)."""
+    import time
+
+    from ..search.edit_distance import EDAccumulator, edit_distance
+
+    n = min(corpus.num_segments, max_segments or corpus.num_segments)
+    n_data = mesh.shape["data"]
+    if batch_size % n_data:
+        batch_size += n_data - batch_size % n_data
+
+    def bucket(length: int) -> int:
+        for b in buckets:
+            if length <= b:
+                return b
+        return -(-length // buckets[-1]) * buckets[-1]
+
+    targs = (jnp.asarray(tables.state_table), jnp.asarray(tables.last_pos),
+             jnp.asarray(tables.word_len), jnp.asarray(tables.first_state),
+             jnp.asarray(tables.tdp_within), jnp.asarray(tables.entry_pen),
+             jnp.asarray(am_threshold, dtype))
+    hyps: dict = {}
+    t0 = time.perf_counter()
+    order = np.argsort(corpus.lengths[:n], kind="stable")
+    for i in range(0, n, batch_size):
+        ids = order[i: i + batch_size].tolist()
+        n_real = len(ids)
+        while len(ids) < batch_size:         # keep shapes static
+            ids.append(ids[-1])
+        T = bucket(max(corpus.seq_length(s) for s in ids))
+        feats, lens = corpus.padded_batch(ids, pad_to=T)
+        lens = np.asarray(lens).copy()
+        lens[n_real:] = 0                    # mask duplicate tail slots
+        feats_d = shard_batch(mesh, feats)
+        len_d = shard_batch(mesh, lens.astype(np.int32))
+        with mesh:
+            scores, words, bkps = _sharded_decode_run(
+                pack, feats_d, len_d, *targs)
+        words = np.asarray(words)
+        bkps = np.asarray(bkps)
+        for b, s in enumerate(ids[:n_real]):
+            t = int(lens[b])
+            seq = []
+            while t > 0:
+                w = int(words[t - 1, b])
+                if w != silence_idx:
+                    seq.append(w)
+                t = int(bkps[t - 1, b])
+            seq.reverse()
+            hyps[s] = seq
+    elapsed = time.perf_counter() - t0
+
+    acc = EDAccumulator()
+    ref_total = 0
+    sentence_errors = 0
+    for s in range(n):
+        ed = edit_distance(corpus.orths[s], hyps[s])
+        acc += ed
+        ref_total += len(corpus.orths[s])
+        if ed.total_count > 0:
+            sentence_errors += 1
+    audio_seconds = float(corpus.lengths[:n].sum()) * corpus.frame_duration
+    return {
+        "wer": 100.0 * acc.total_count / ref_total,
+        "ser": 100.0 * sentence_errors / n,
+        "substitutions": acc.substitute_count,
+        "insertions": acc.insert_count,
+        "deletions": acc.delete_count,
+        "time": elapsed,
+        "rtf": elapsed / audio_seconds,
+        "audio_seconds": audio_seconds,
+        "hyps": hyps,
+    }
+
+
 def wcts_sharded(mesh: Mesh, pack, feats: np.ndarray, feat_len: np.ndarray,
                  tree_tables, tdp_model, lm_matrix: np.ndarray,
                  lm_start: np.ndarray, am_threshold: float,

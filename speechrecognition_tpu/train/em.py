@@ -110,6 +110,14 @@ class Trainer:
 
     # -- device helpers ------------------------------------------------------
 
+    def _pack(self):
+        """Device scoring pack for the current model: a ScorePackDF on the
+        double-float path (dtype="df32" — reference-f64 decisions at f32
+        speed), else a plain ScorePack in the requested dtype."""
+        if self.dtype == "df32":
+            return self.model.pack_df()
+        return self.model.pack(dtype=self.dtype)
+
     def _device_corpus(self, corpus: Corpus):
         """Upload the flat feature store once; every EM pass then runs as a
         single device dispatch (the tunnel/PCIe round-trips, not FLOPs,
@@ -138,7 +146,7 @@ class Trainer:
         """One E-step over the whole corpus: one fused device pass."""
         t0 = time.perf_counter()
         chunks, mask = self._device_corpus(corpus)
-        pack = self.model.pack(dtype=self.dtype)
+        pack = self._pack()
         w, xs, x2s = em_accumulate_corpus(
             pack, chunks, self._states_chunks(alignment), mask, first_pass)
         self.model.apply_statistics(np.asarray(w), np.asarray(xs),
@@ -150,7 +158,7 @@ class Trainer:
         (reference: Training.cpp:585-612)."""
         t0 = time.perf_counter()
         chunks, mask = self._device_corpus(corpus)
-        pack = self.model.pack(dtype=self.dtype)
+        pack = self._pack()
         total = float(em_am_score_corpus(
             pack, chunks, self._states_chunks(alignment), mask))
         self.phase_seconds["score"] += time.perf_counter() - t0
@@ -170,7 +178,7 @@ class Trainer:
                  alignment: np.ndarray) -> None:
         t0 = time.perf_counter()
         self._device_corpus(corpus)
-        pack = self.model.pack(dtype=self.dtype)
+        pack = self._pack()
         thr = self.cfg.pruning_threshold if self.cfg.alignment_pruning else None
         order = np.argsort(corpus.lengths, kind="stable")
         Bsz = self.cfg.batch_size

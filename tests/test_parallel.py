@@ -121,3 +121,26 @@ def test_wcts_sharded_matches_single(pack, lexicon, demo_corpus):
     np.testing.assert_array_equal(books_s, np.asarray(books1))
     np.testing.assert_array_equal(bkps_s, np.asarray(bkps1))
     np.testing.assert_array_equal(preds_s, np.asarray(preds1))
+
+
+def test_recognize_corpus_sharded_matches_recognizer(pack, lexicon, demo_corpus):
+    """The whole-corpus sharded driver (bench.py BENCH_MESH path) must give
+    the single-path Recognizer's transcripts and WER on the demo corpus."""
+    from speechrecognition_tpu.config import Configuration
+    from speechrecognition_tpu.parallel.mesh import recognize_corpus_sharded
+    from speechrecognition_tpu.search.decoder import Recognizer
+
+    tdp = TdpModel(silence_state=0, loop=3.0, forward=0.0, skip=30.0)
+    cfg = Configuration({"am-threshold": 200.0, "word-penalty": 80.0,
+                         "pruned-search": True,
+                         "max-recognition-runs": 10 ** 9})
+    rec = Recognizer(cfg, lexicon, tdp, pack, dtype=jnp.float32)
+    single = rec.recognize_corpus(demo_corpus, batch_size=8)
+
+    mesh = make_mesh(8, ("data",))
+    sharded = recognize_corpus_sharded(
+        mesh, pack, demo_corpus, rec.tables, 200.0, lexicon.silence_idx,
+        batch_size=8)
+    assert sharded["hyps"] == single["hyps"]
+    assert sharded["wer"] == single["wer"]
+    assert sharded["ser"] == single["ser"]
