@@ -13,6 +13,13 @@ import jax  # noqa: E402
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_num_cpu_devices", 8)
 
+# Persistent compile cache: the EM/decoder scans cost minutes of XLA
+# compile on this 2-CPU box; re-runs of the suite hit the disk cache.
+jax.config.update("jax_compilation_cache_dir",
+                  os.path.join(os.path.dirname(os.path.dirname(
+                      os.path.abspath(__file__))), ".jax_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+
 import json  # noqa: E402
 import pathlib  # noqa: E402
 
