@@ -108,6 +108,28 @@ def _sharded_decode_run(pack, feats_d, len_d, state_table, last_pos, word_len,
     return outs
 
 
+@partial(jax.jit, static_argnames=("prune",))
+def _sharded_decode_run_df(packdf, feats_d, len_d, state_table, last_pos,
+                           word_len, first_state, tdp_hi, tdp_lo, ent_hi,
+                           ent_lo, thr, prune=True):
+    """Double-float twin of `_sharded_decode_run`: the sharded corpus
+    decode reproduces the single-chip df32 bit-parity path (per-utterance
+    decisions are independent of the data sharding; tests/test_parallel.py
+    asserts transcript equality against `decode_batch_df` on 8 devices)."""
+    from ..models import gmm as gmm_mod
+    from ..search.decoder import _decode_scan_df
+
+    B, T, dim = feats_d.shape
+    flat = feats_d.reshape(B * T, dim)
+    am = gmm_mod.am_scores_df(packdf, flat)
+    S = packdf.num_mixtures
+    _carry, outs = _decode_scan_df(
+        am.hi.reshape(B, T, S), am.lo.reshape(B, T, S), len_d,
+        state_table, last_pos, word_len, first_state,
+        tdp_hi, tdp_lo, ent_hi, ent_lo, thr, prune=prune)
+    return outs
+
+
 def recognize_corpus_sharded(mesh: Mesh, pack, corpus, tables,
                              am_threshold: float, silence_idx: int,
                              batch_size: int = 512, dtype=jnp.float32,
@@ -117,14 +139,17 @@ def recognize_corpus_sharded(mesh: Mesh, pack, corpus, tables,
     """Whole-corpus decode with utterance batches sharded over the mesh's
     ``data`` axis — the multi-chip form of `Recognizer.recognize_corpus`
     (the reference's OpenMP segment loop, Recognizer.cpp:46-79). Returns
-    the same WER/SER/RTF result dict. f32 scores (the df32 bit-parity
-    path is the single-chip `Recognizer`); per-utterance results are
-    independent, so sharding never changes a transcript (tests/
-    test_parallel.py asserts equality against `decode_batch`)."""
+    the same WER/SER/RTF result dict.
+
+    ``dtype="df32"`` (with ``pack`` a ScorePackDF) runs the double-float
+    bit-parity path sharded: per-utterance results are independent, so
+    sharding never changes a transcript (tests/test_parallel.py asserts
+    equality against `decode_batch`/`decode_batch_df` on 8 devices)."""
     import time
 
     from ..search.edit_distance import EDAccumulator, edit_distance
 
+    is_df = dtype == "df32"
     n = min(corpus.num_segments, max_segments or corpus.num_segments)
     n_data = mesh.shape["data"]
     if batch_size % n_data:
@@ -136,10 +161,21 @@ def recognize_corpus_sharded(mesh: Mesh, pack, corpus, tables,
                 return b
         return -(-length // buckets[-1]) * buckets[-1]
 
-    targs = (jnp.asarray(tables.state_table), jnp.asarray(tables.last_pos),
-             jnp.asarray(tables.word_len), jnp.asarray(tables.first_state),
-             jnp.asarray(tables.tdp_within), jnp.asarray(tables.entry_pen),
-             jnp.asarray(am_threshold, dtype))
+    if is_df:
+        from ..ops import doublefloat as dfm
+        tdp_df = dfm.from_f64(tables.tdp_within)
+        ent_df = dfm.from_f64(tables.entry_pen)
+        targs = (jnp.asarray(tables.state_table),
+                 jnp.asarray(tables.last_pos),
+                 jnp.asarray(tables.word_len),
+                 jnp.asarray(tables.first_state),
+                 tdp_df.hi, tdp_df.lo, ent_df.hi, ent_df.lo,
+                 jnp.asarray(am_threshold, jnp.float32))
+    else:
+        targs = (jnp.asarray(tables.state_table), jnp.asarray(tables.last_pos),
+                 jnp.asarray(tables.word_len), jnp.asarray(tables.first_state),
+                 jnp.asarray(tables.tdp_within), jnp.asarray(tables.entry_pen),
+                 jnp.asarray(am_threshold, dtype))
     hyps: dict = {}
     t0 = time.perf_counter()
     order = np.argsort(corpus.lengths[:n], kind="stable")
@@ -155,8 +191,12 @@ def recognize_corpus_sharded(mesh: Mesh, pack, corpus, tables,
         feats_d = shard_batch(mesh, feats)
         len_d = shard_batch(mesh, lens.astype(np.int32))
         with mesh:
-            scores, words, bkps = _sharded_decode_run(
-                pack, feats_d, len_d, *targs)
+            if is_df:
+                scores, words, bkps = _sharded_decode_run_df(
+                    pack, feats_d, len_d, *targs)
+            else:
+                scores, words, bkps = _sharded_decode_run(
+                    pack, feats_d, len_d, *targs)
         words = np.asarray(words)
         bkps = np.asarray(bkps)
         for b, s in enumerate(ids[:n_real]):
