@@ -124,7 +124,7 @@ def main(argv=None) -> int:
         print(f"RTF: {result['rtf']}", file=sys.stderr)
         return 0
 
-    if action in ("train-nn", "compute-prior"):
+    if action in ("train-nn", "compute-prior", "plot-activations"):
         from .models.nn import MLP, layer_specs_from_config
         from .train.nn_training import (MiniBatchBuilder, NnTrainer,
                                         compute_prior_from_alignment)
@@ -137,6 +137,39 @@ def main(argv=None) -> int:
             mlp = MLP(layer_specs_from_config(config), input_dim=builder.feature_size)
             NnTrainer(config, builder, mlp,
                       log=lambda *a: print(*a, file=sys.stderr)).train()
+            return 0
+        if action == "plot-activations":
+            # forward the FIRST (unshuffled) minibatch through the loaded
+            # MLP and dump every layer's activations as raw float32 files;
+            # optionally t-SNE one layer colored by the target alignment
+            # (reference: SieTill.cpp:152-179 + src/activation-plotting/)
+            from .tools.tsne import dump_activations, tsne
+            mlp = MLP(layer_specs_from_config(config),
+                      input_dim=builder.feature_size)
+            params = mlp.load(ParameterString("model-path", "")(config))
+            acts_dir = ParameterString("activations-path", "activations/")(config)
+            feats, targets, mask = builder.build_batch(0, cv=False)
+            T, B, F = feats.shape
+            valid = (np.arange(T)[:, None] < mask[None, :]).reshape(T * B)
+            flat = feats.reshape(T * B, F)[valid]
+            labels = targets.reshape(T * B, -1)[valid].argmax(axis=1)
+            dump_activations(mlp, params, flat,
+                             [s.name for s in mlp.specs], acts_dir)
+            np.asarray(labels, np.int32).tofile(acts_dir + "/labels.bin")
+            print(f"wrote activations for {flat.shape[0]} frames "
+                  f"({len(mlp.specs)} layers) to {acts_dir}", file=sys.stderr)
+            tsne_plot = ParameterString("tsne-plot", "")(config)
+            if tsne_plot:
+                from .tools.tsne import plot_tsne
+                layer = ParameterString(
+                    "tsne-layer", mlp.specs[0].name)(config)
+                max_frames = ParameterInt("tsne-max-frames", 1000)(config)
+                import jax.numpy as jnp
+                acts = mlp.apply(params, jnp.asarray(flat[:max_frames]))
+                Y = tsne(np.asarray(acts[layer], np.float64),
+                         perplexity=30.0)
+                plot_tsne(Y, labels[:max_frames], tsne_plot)
+                print(f"t-SNE of {layer} → {tsne_plot}", file=sys.stderr)
             return 0
         # compute-prior
         prior_file = ParameterString("prior-file", "")(config)

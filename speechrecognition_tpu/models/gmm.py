@@ -409,15 +409,20 @@ class MixtureModel:
 
     # -- host application of device statistics -------------------------------
 
-    def pack_df(self) -> "ScorePackDF":
+    def pack_df(self, density_cap: Optional[int] = None) -> "ScorePackDF":
         """Double-float (two-f32) scoring pack: exact f32-pair splits of the
         host float64 tables for the bit-parity decode path (see
-        am_scores_df)."""
+        am_scores_df).
+
+        ``density_cap``: pad density slots to a fixed capacity so device
+        program shapes stay constant while EM splitting grows the model —
+        the tunnel backend's variable-latency lazy compiles make program
+        count, not padding FLOPs, the cost that matters (train/em.py)."""
         from ..ops import doublefloat as dfm
         from ..ops.mahalanobis import pack_to_mahalanobis
 
         S = self.num_mixtures
-        D = self.max_densities_per_mixture
+        D = density_cap or self.max_densities_per_mixture
         dim = self.dim
         mu = np.zeros((S * D, dim))
         iv = np.zeros((S * D, dim))
@@ -674,40 +679,63 @@ def em_accumulate_corpus(pack: ScorePack, feats_chunks: jnp.ndarray,
     dim = feats_chunks.shape[-1]
     gdtype = jnp.float32 if is_df else pack.dtype
 
-    def membership(f, st):
+    def best_density(f, st):
+        """Hard membership: the aligned mixture's winning density index
+        per frame (max-approx, Mixtures.cpp:296-305) — int32 [C]."""
         if first_pass:
-            return jnp.zeros((f.shape[0], D), gdtype).at[:, 0].set(1.0)
+            return jnp.zeros(f.shape[0], jnp.int32)
         if is_df:
-            if not pack.max_approx:
-                raise NotImplementedError(
-                    "df32 EM covers max-approx membership only")
             from ..ops import doublefloat as dfm
             sc = aligned_density_scores_df(pack, f, st)       # DF [C, D]
             m = dfm.min_axis(sc, axis=-1)
             eq = (sc.hi == m.hi[:, None]) & (sc.lo == m.lo[:, None])
-            best = jnp.argmax(eq, axis=-1)    # first minimum, like argmin
-            return jax.nn.one_hot(best, D, dtype=gdtype)
+            return jnp.argmax(eq, axis=-1).astype(jnp.int32)  # first minimum
         if aligned_gather:
             sc_aligned = aligned_density_scores(pack, f, st)
         else:
             sc = density_scores(pack, f)
             sc_aligned = jnp.take_along_axis(
                 sc, st[:, None, None].astype(jnp.int32), axis=1)[:, 0]
-        if pack.max_approx:
-            return jax.nn.one_hot(jnp.argmin(sc_aligned, axis=-1), D,
-                                  dtype=pack.dtype)
+        return jnp.argmin(sc_aligned, axis=-1).astype(jnp.int32)
+
+    def soft_membership(f, st):
+        if is_df:
+            raise NotImplementedError(
+                "df32 EM covers max-approx membership only")
+        if aligned_gather:
+            sc_aligned = aligned_density_scores(pack, f, st)
+        else:
+            sc = density_scores(pack, f)
+            sc_aligned = jnp.take_along_axis(
+                sc, st[:, None, None].astype(jnp.int32), axis=1)[:, 0]
         shifted = sc_aligned - sc_aligned.min(axis=-1, keepdims=True)
         p = jnp.exp(-shifted)
         p = p / p.sum(axis=-1, keepdims=True)
         return jnp.where(p < MEMBERSHIP_EPS, 0.0, p)
 
+    hard = first_pass or pack.max_approx
+
     def body(carry, inp):
         w, xs, x2s = carry
         f, st, m = inp
-        gamma = membership(f, st) * m[:, None].astype(gdtype)
+        f64 = f.astype(jnp.float64)
+        if hard:
+            # one frame → exactly one (mixture, density) slot: scatter the
+            # frame itself into flat slot ids — [C, dim] float64 adds, no
+            # per-density product tensor (the gamma values are exactly 0/1,
+            # so the products the reference computes are the features)
+            slots = st.astype(jnp.int32) * D + best_density(f, st)
+            m64 = m.astype(jnp.float64)
+            cw = jax.ops.segment_sum(m64, slots, num_segments=S * D)
+            cxs = jax.ops.segment_sum(f64 * m64[:, None], slots,
+                                      num_segments=S * D)
+            cx2s = jax.ops.segment_sum(f64 * f64 * m64[:, None], slots,
+                                       num_segments=S * D)
+            return (w + cw.reshape(S, D), xs + cxs.reshape(S, D, dim),
+                    x2s + cx2s.reshape(S, D, dim)), None
+        gamma = soft_membership(f, st) * m[:, None].astype(gdtype)
         ids = st.astype(jnp.int32)
         gamma64 = gamma.astype(jnp.float64)
-        f64 = f.astype(jnp.float64)
         cw = jax.ops.segment_sum(gamma64, ids, num_segments=S)
         cxs = jax.ops.segment_sum(gamma64[:, :, None] * f64[:, None, :], ids,
                                   num_segments=S)

@@ -35,7 +35,7 @@ from ..align.linear_seg import (linear_alignment_mapping,
                                 linear_segmentation_approximation,
                                 linear_segmentation_full_dp,
                                 linear_segmentation_running_sums)
-from ..align.viterbi import AlignerTables, align_batch
+from ..align.viterbi import AlignerTables, align_batch, align_batch_chunked
 
 
 @dataclass
@@ -110,13 +110,25 @@ class Trainer:
 
     # -- device helpers ------------------------------------------------------
 
+    @property
+    def _density_cap(self) -> int:
+        """Fixed per-mixture density capacity for the WHOLE training run
+        (2^num_splits — splitting at most doubles per split; eliminate only
+        shrinks). Padding every device pack to this capacity keeps every
+        program shape constant across split rounds, so each EM program
+        compiles exactly once — the tunnel backend's variable-latency lazy
+        compiles price program count, not the padded slots' FLOPs."""
+        return max(2 ** self.cfg.num_splits,
+                   self.model.max_densities_per_mixture)
+
     def _pack(self):
         """Device scoring pack for the current model: a ScorePackDF on the
         double-float path (dtype="df32" — reference-f64 decisions at f32
         speed), else a plain ScorePack in the requested dtype."""
         if self.dtype == "df32":
-            return self.model.pack_df()
-        return self.model.pack(dtype=self.dtype)
+            return self.model.pack_df(density_cap=self._density_cap)
+        return self.model.pack(dtype=self.dtype,
+                               density_cap=self._density_cap)
 
     def _device_corpus(self, corpus: Corpus):
         """Upload the flat feature store once; every EM pass then runs as a
@@ -128,11 +140,12 @@ class Trainer:
             K = -(-N // C)
             fp = np.zeros((K * C, self.model.dim), np.float32)
             fp[:N] = corpus.features
-            self._dev_chunks = jnp.asarray(fp.reshape(K, C, self.model.dim))
+            # one upload; the chunked view is a device-side reshape
+            self._dev_flat = jnp.asarray(fp)
+            self._dev_chunks = self._dev_flat.reshape(K, C, self.model.dim)
             mask = np.zeros(K * C, np.float32)
             mask[:N] = 1.0
             self._dev_mask = jnp.asarray(mask.reshape(K, C))
-            self._dev_flat = jnp.asarray(fp)
         return self._dev_chunks, self._dev_mask
 
     def _states_chunks(self, alignment: np.ndarray) -> jnp.ndarray:
@@ -201,7 +214,7 @@ class Trainer:
             tables = AlignerTables(states=tables_all.states[ids],
                                    lengths=tables_all.lengths[ids],
                                    tdp=tables_all.tdp[ids])
-            states, _costs = align_batch(
+            states, _costs = align_batch_chunked(
                 pack, feats, lens, tables, pruning_threshold=thr,
                 tie_pruned=self.cfg.alignment_pruning, dtype=self.dtype)
             for b, s in enumerate(ids[:n_real]):
