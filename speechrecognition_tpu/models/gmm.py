@@ -686,7 +686,19 @@ def em_accumulate_corpus(pack: ScorePack, feats_chunks: jnp.ndarray,
             return jnp.zeros(f.shape[0], jnp.int32)
         if is_df:
             from ..ops import doublefloat as dfm
-            sc = aligned_density_scores_df(pack, f, st)       # DF [C, D]
+            # full-table streaming scores + a [C, D] gather of the aligned
+            # mixture's block: the mu/iv tables are tiny and stay in VMEM,
+            # whereas gathering per-frame [C, D, dim] parameter slices
+            # (aligned_density_scores_df) moves ~400MB of random-access
+            # HBM traffic per chunk — bandwidth, not FLOPs, priced the
+            # E-step. Same per-density op order, so decisions are
+            # unchanged.
+            sc_all = _density_scores_df(pack, f)              # DF [C, S·D]
+            C = f.shape[0]
+            idx = (st.astype(jnp.int32)[:, None] * D
+                   + jnp.arange(D)[None, :])                  # [C, D]
+            sc = dfm.DF(jnp.take_along_axis(sc_all.hi, idx, axis=1),
+                        jnp.take_along_axis(sc_all.lo, idx, axis=1))
             m = dfm.min_axis(sc, axis=-1)
             eq = (sc.hi == m.hi[:, None]) & (sc.lo == m.lo[:, None])
             return jnp.argmax(eq, axis=-1).astype(jnp.int32)  # first minimum
@@ -752,6 +764,92 @@ def em_accumulate_corpus(pack: ScorePack, feats_chunks: jnp.ndarray,
     return w, xs, x2s
 
 
+@partial(jax.jit, static_argnames=("first_pass", "aligned_gather"))
+def em_score_and_accumulate_corpus(pack: ScorePack, feats_chunks: jnp.ndarray,
+                                   states_chunks: jnp.ndarray,
+                                   mask_chunks: jnp.ndarray,
+                                   first_pass: bool = False,
+                                   aligned_gather: bool = True):
+    """Fused (em_am_score_corpus, em_accumulate_corpus) under ONE model:
+    the EM estimate loop scores M_{k+1} (the trajectory line) and then
+    immediately accumulates under the same M_{k+1} — one corpus pass,
+    one tunnel round trip, and ONE per-frame scoring shared by both
+    (instead of two passes each scoring every frame). Returns
+    (score_total, w, xs, x2s), bit-identical to the two separate passes
+    (same kernels on the same gathered score block)."""
+    is_df = isinstance(pack, ScorePackDF)
+    S, D = pack.num_mixtures, pack.density_cap
+    dim = feats_chunks.shape[-1]
+
+    def scored_block(f, st):
+        """DF or plain [C, D] scores of the aligned mixture's densities,
+        shared by the score sum and the membership argmin."""
+        if is_df:
+            if not pack.max_approx:
+                raise NotImplementedError(
+                    "df32 EM covers max-approx scoring only")
+            from ..ops import doublefloat as dfm
+            sc_all = _density_scores_df(pack, f)
+            idx = (st.astype(jnp.int32)[:, None] * D
+                   + jnp.arange(D)[None, :])
+            return dfm.DF(jnp.take_along_axis(sc_all.hi, idx, axis=1),
+                          jnp.take_along_axis(sc_all.lo, idx, axis=1))
+        if aligned_gather:
+            return aligned_density_scores(pack, f, st)
+        sc = density_scores(pack, f)
+        return jnp.take_along_axis(
+            sc, st[:, None, None].astype(jnp.int32), axis=1)[:, 0]
+
+    def body(carry, inp):
+        total, w, xs, x2s = carry
+        f, st, m = inp
+        sc = scored_block(f, st)
+        # frame score (Training.cpp:585-612 semantics, as em_am_score_corpus)
+        if is_df:
+            from ..ops import doublefloat as dfm
+            mn = dfm.min_axis(sc, axis=-1)
+            capped_hi = jnp.minimum(mn.hi, jnp.float32(MIN_SCORE_INIT))
+            capped_lo = jnp.where(mn.hi < jnp.float32(MIN_SCORE_INIT),
+                                  mn.lo, 0.0)
+            fs64 = capped_hi.astype(jnp.float64) + capped_lo.astype(jnp.float64)
+            total = total + (fs64 * m).sum()
+            eq = (sc.hi == mn.hi[:, None]) & (sc.lo == mn.lo[:, None])
+            best = jnp.argmax(eq, axis=-1).astype(jnp.int32)
+        else:
+            if pack.max_approx:
+                fs = jnp.minimum(sc.min(axis=-1), MIN_SCORE_INIT)
+            else:
+                neg = jnp.where(pack.active[st.astype(jnp.int32)],
+                                -sc, -jnp.inf)
+                fs = -jax.scipy.special.logsumexp(neg, axis=-1)
+            total = total + (fs.astype(jnp.float64) * m).sum()
+            best = jnp.argmin(sc, axis=-1).astype(jnp.int32)
+        # statistics (em_accumulate_corpus hard path; first_pass → slot 0)
+        if first_pass:
+            best = jnp.zeros_like(best)
+        if not (first_pass or pack.max_approx):
+            raise NotImplementedError(
+                "fused pass covers max-approx membership only")
+        f64 = f.astype(jnp.float64)
+        slots = st.astype(jnp.int32) * D + best
+        m64 = m.astype(jnp.float64)
+        cw = jax.ops.segment_sum(m64, slots, num_segments=S * D)
+        cxs = jax.ops.segment_sum(f64 * m64[:, None], slots,
+                                  num_segments=S * D)
+        cx2s = jax.ops.segment_sum(f64 * f64 * m64[:, None], slots,
+                                   num_segments=S * D)
+        return (total, w + cw.reshape(S, D), xs + cxs.reshape(S, D, dim),
+                x2s + cx2s.reshape(S, D, dim)), None
+
+    init = (jnp.zeros((), jnp.float64),
+            jnp.zeros((S, D), jnp.float64),
+            jnp.zeros((S, D, dim), jnp.float64),
+            jnp.zeros((S, D, dim), jnp.float64))
+    (total, w, xs, x2s), _ = jax.lax.scan(
+        body, init, (feats_chunks, states_chunks, mask_chunks))
+    return total, w, xs, x2s
+
+
 @partial(jax.jit, static_argnames=("aligned_gather",))
 def em_am_score_corpus(pack: ScorePack, feats_chunks: jnp.ndarray,
                        states_chunks: jnp.ndarray, mask_chunks: jnp.ndarray,
@@ -769,7 +867,14 @@ def em_am_score_corpus(pack: ScorePack, feats_chunks: jnp.ndarray,
                 raise NotImplementedError(
                     "df32 EM covers max-approx scoring only")
             from ..ops import doublefloat as dfm
-            sc = aligned_density_scores_df(pack, f, st)       # DF [C, D]
+            # full-table streaming + aligned-block gather (see
+            # em_accumulate_corpus.best_density for the bandwidth note)
+            D = pack.density_cap
+            sc_all = _density_scores_df(pack, f)              # DF [C, S·D]
+            idx = (st.astype(jnp.int32)[:, None] * D
+                   + jnp.arange(D)[None, :])
+            sc = dfm.DF(jnp.take_along_axis(sc_all.hi, idx, axis=1),
+                        jnp.take_along_axis(sc_all.lo, idx, axis=1))
             mn = dfm.min_axis(sc, axis=-1)
             capped_hi = jnp.minimum(mn.hi, jnp.float32(MIN_SCORE_INIT))
             capped_lo = jnp.where(mn.hi < jnp.float32(MIN_SCORE_INIT),

@@ -145,8 +145,6 @@ class EbwTrainer:
                                lattices: Sequence[WordLattice]):
         """Arc-posterior-weighted statistics: batched Viterbi alignment of
         every surviving lattice arc's word automaton to its span."""
-        pack = self.model.pack(dtype=self.dtype)
-        lex = self.lexicon
         jobs = []  # (segment, start, end, word, posterior_prob)
         for s, lat in enumerate(lattices):
             _nodes, post = lat.forward_backward()
@@ -154,7 +152,16 @@ class EbwTrainer:
                 p = post[a]
                 if np.isfinite(p) and p <= self.cfg.posterior_threshold:
                     jobs.append((s, a.start, a.end, a.word, float(np.exp(-p))))
+        return self.arc_statistics(corpus, jobs)
 
+    def arc_statistics(self, corpus: Corpus, jobs):
+        """Weighted statistics over lattice arcs: batched Viterbi alignment
+        of each arc's word automaton to its frame span, frames accumulated
+        with the job's weight. jobs: (segment, start, end, word, weight) —
+        the building block both MMI denominators and MPE's sign-split
+        accumulators use (Speech/LatticeArcAccumulator.cc)."""
+        pack = self.model.pack(dtype=self.dtype)
+        lex = self.lexicon
         feats_out: List[np.ndarray] = []
         states_out: List[np.ndarray] = []
         weights_out: List[np.ndarray] = []

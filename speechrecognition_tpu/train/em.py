@@ -166,6 +166,26 @@ class Trainer:
                                     np.asarray(x2s))
         self.phase_seconds["estimate"] += time.perf_counter() - t0
 
+    def _score_and_accumulate(self, corpus: Corpus, alignment: np.ndarray,
+                              ) -> float:
+        """Fused AM-score + E-step under the CURRENT model: one corpus
+        pass and one device round trip where the estimate loop's
+        score(M_k)/accumulate(M_k) pair would take two (results are the
+        pair's, bit-identical). The statistics are applied to the model
+        in place; the returned value is the per-frame AM score."""
+        from ..models.gmm import em_score_and_accumulate_corpus
+
+        t0 = time.perf_counter()
+        chunks, mask = self._device_corpus(corpus)
+        pack = self._pack()
+        total, w, xs, x2s = em_score_and_accumulate_corpus(
+            pack, chunks, self._states_chunks(alignment), mask)
+        score = float(total) / corpus.total_frames
+        self.model.apply_statistics(np.asarray(w), np.asarray(xs),
+                                    np.asarray(x2s))
+        self.phase_seconds["estimate"] += time.perf_counter() - t0
+        return score
+
     def calc_am_score(self, corpus: Corpus, alignment: np.ndarray) -> float:
         """Average per-frame score under the current alignment
         (reference: Training.cpp:585-612)."""
@@ -303,10 +323,16 @@ class Trainer:
                 if cfg.alignment_path:
                     write_alignment(f"{cfg.alignment_path}{i}-{j}.dump", alignment)
             num_estimates = 1 if i == 0 else cfg.num_estimates
+            # estimate loop with fused passes: acc(M_k) → finalize →
+            # score(M_{k+1}); score(M_{k+1}) and acc(M_{k+1}) (iteration
+            # k+1's E-step) share one corpus pass
+            self._accumulate(corpus, alignment, first_pass=False)
             for k in range(num_estimates):
-                self._accumulate(corpus, alignment, first_pass=False)
                 self.model.finalize()
-                score = self.calc_am_score(corpus, alignment)
+                if k + 1 < num_estimates:
+                    score = self._score_and_accumulate(corpus, alignment)
+                else:
+                    score = self.calc_am_score(corpus, alignment)
                 self.log(f"AM score (accumulate): {score:.6g}")
                 self._stat(f"{i} {j} {k} {score:g}")
 
