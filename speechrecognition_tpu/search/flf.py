@@ -370,3 +370,185 @@ def combine_confusion_networks(systems: Sequence[Sequence[CnSlot]],
             c.probs[w] = c.probs.get(w, 0.0) + weights[sys_i] * p
     combined.sort(key=lambda s: (s.center, s.start))
     return combined
+
+
+# -- lattice-level structural ops (Flf/FlfCore breadth) -----------------------
+
+
+def _logadd(a: float, b: float) -> float:
+    if math.isinf(a):
+        return b
+    if math.isinf(b):
+        return a
+    m = min(a, b)
+    return m - math.log1p(math.exp(-abs(a - b)))
+
+
+def union_lattices(lats: Sequence[WordLattice]) -> WordLattice:
+    """Flf union (sum semiring): one lattice containing every input's
+    paths over the same audio. Arcs sharing (start, end, word) merge by
+    log-add, so each merged arc carries the summed path mass."""
+    if not lats:
+        raise ValueError("union of zero lattices")
+    T = max(l.num_frames for l in lats)
+    if any(l.num_frames != T for l in lats):
+        raise ValueError("union requires lattices over the same frames "
+                         f"({sorted(set(l.num_frames for l in lats))})")
+    merged: Dict[Tuple[int, int, int], float] = {}
+    for l in lats:
+        for a in l.arcs:
+            key = (a.start, a.end, a.word)
+            merged[key] = _logadd(merged.get(key, math.inf), a.score)
+    arcs = [Arc(s, e, w, sc) for (s, e, w), sc in sorted(merged.items())]
+    return WordLattice(num_frames=T, arcs=arcs, silence=lats[0].silence)
+
+
+def trim_lattice(lat: WordLattice) -> WordLattice:
+    """Connectivity trim (Flf trim / Fsa::trim): keep only arcs on some
+    complete path from frame 0 to the final frame."""
+    fwd_ok = {0}
+    for a in sorted(lat.arcs, key=lambda a: a.end):
+        if a.start in fwd_ok:
+            fwd_ok.add(a.end)
+    bwd_ok = {lat.num_frames}
+    for a in sorted(lat.arcs, key=lambda a: -a.start):
+        if a.end in bwd_ok:
+            bwd_ok.add(a.start)
+    arcs = [a for a in lat.arcs if a.start in fwd_ok and a.end in bwd_ok]
+    return WordLattice(num_frames=lat.num_frames, arcs=arcs,
+                       silence=lat.silence)
+
+
+def mesh_lattice(lat: WordLattice) -> WordLattice:
+    """Flf mesh: the time-skeleton lattice — arcs deduplicated by
+    (boundary frames, word) with log-added mass, then connectivity
+    trimmed. Since WordLattice nodes ARE frames, meshing is exactly this
+    projection (every arc becomes connectable at its shared boundary
+    times)."""
+    return trim_lattice(union_lattices([lat]))
+
+
+def determinize_lattice(lat: WordLattice):
+    """Determinize the lattice's word acceptor (Fsa determinize over the
+    tropical semiring; the bridge is fsa.ops.from_word_lattice, mirroring
+    the reference's lattices-are-Fsa-pairs design, Lattice/Lattice.hh):
+    the result accepts each word sequence once, with its best (min)
+    lattice score."""
+    from ..fsa.ops import determinize, from_word_lattice
+
+    return determinize(from_word_lattice(trim_lattice(lat)))
+
+
+def minimize_lattice(lat: WordLattice):
+    """Determinize + minimize the lattice's word acceptor."""
+    from ..fsa.ops import minimize
+
+    return minimize(determinize_lattice(lat))
+
+
+def pivot_confusion_network(lat: WordLattice,
+                            silence_as_eps: bool = True) -> List[CnSlot]:
+    """Pivot-path confusion network (Flf/PivotConfusionNetworkBuilder):
+    the 1-best path is the slot skeleton; every remaining arc joins the
+    skeleton slot with the largest time overlap (ties → earlier slot).
+    Complements `confusion_network` (the center-frame builder)."""
+    _, post = lat.forward_backward()
+    # recover the best path's arcs (the slot skeleton) by lattice Viterbi
+    skeleton: List[CnSlot] = []
+    best_cost = {0: 0.0}
+    best_arc: Dict[int, Arc] = {}
+    for a in sorted(lat.arcs, key=lambda a: a.end):
+        if a.start not in best_cost:
+            continue
+        c = best_cost[a.start] + a.score
+        if a.end not in best_cost or c < best_cost[a.end]:
+            best_cost[a.end] = c
+            best_arc[a.end] = a
+    path: List[Arc] = []
+    t = lat.num_frames
+    while t > 0 and t in best_arc:
+        a = best_arc[t]
+        path.append(a)
+        t = a.start
+    path.reverse()
+    prob = {a: math.exp(-p) for a, p in post.items() if np.isfinite(p)}
+    for a in path:
+        slot = CnSlot(start=a.start, end=a.end)
+        if not (silence_as_eps and a.word == lat.silence):
+            slot.probs[a.word] = prob.get(a, 0.0)
+        skeleton.append(slot)
+    on_path = set(path)
+    for a in sorted(prob, key=lambda a: (a.start, a.end, a.word)):
+        if a in on_path:
+            continue
+        best_k, best_ov = None, -1.0
+        for k, s in enumerate(skeleton):
+            ov = min(a.end, s.end) - max(a.start, s.start)
+            if ov > best_ov:
+                best_k, best_ov = k, ov
+        if best_k is None or best_ov <= 0:
+            continue
+        if silence_as_eps and a.word == lat.silence:
+            continue
+        s = skeleton[best_k]
+        s.probs[a.word] = s.probs.get(a.word, 0.0) + prob[a]
+    return [s for s in skeleton if s.probs]
+
+
+def rescore_arpa(clat, lm, vocab: Sequence[str], scale: float = 1.0,
+                 silence: Optional[int] = None) -> Tuple[List[int], float]:
+    """Exact lattice rescoring with an ARPA back-off n-gram LM
+    (Lm/ArpaLm.cc + Flf rescoring networks): Viterbi over the context
+    lattice with full n-gram histories as search states (histories are
+    expanded on demand — the lattice's bigram contexts impose no limit).
+    Arc acoustic scores are reused exactly; LM scores are
+    scale · (−ln P(word | history)), silence arcs LM-free (the decoders'
+    silence exemption). Returns (best word sequence, total score)."""
+    silence = clat.silence if silence is None else silence
+    # states: (frame, word-at-node, history tuple of the last order−1
+    # words) — histories are truncated to the LM order so the expansion
+    # stays polynomial (the standard n-gram lattice expansion)
+    keep = max(lm.order - 1, 1)
+    start = (0, clat.start_context, ("<s>",))
+    best: Dict[Tuple, float] = {start: 0.0}
+    back: Dict[Tuple, Tuple[Optional[Tuple], Optional[int]]] = {start: (None, None)}
+    arcs_by_src: Dict[Tuple[int, int], List] = {}
+    for a in clat.arcs:
+        arcs_by_src.setdefault((a.start, a.pred), []).append(a)
+    frontier = [start]
+    while frontier:
+        nxt = []
+        for st in frontier:
+            t, node_word, hist = st
+            base = best[st]
+            for a in arcs_by_src.get((t, node_word), []):
+                if a.word == silence:
+                    lm_cost, h2 = 0.0, hist
+                else:
+                    lm_cost = scale * lm.score(
+                        lm.index(vocab[a.word]),
+                        tuple(lm.index(h) if isinstance(h, str) else h
+                              for h in hist))
+                    h2 = (hist + (vocab[a.word],))[-keep:]
+                dst = (a.end, a.word, h2)
+                c = base + a.am + lm_cost
+                if dst not in best or c < best[dst] - 1e-12:
+                    best[dst] = c
+                    back[dst] = (st, a.word)
+                    nxt.append(dst)
+        frontier = nxt
+    finals = [(c + scale * lm.score(lm.index("</s>"),
+                                    tuple(lm.index(h) if isinstance(h, str)
+                                          else h for h in st[2])), st)
+              for st, c in best.items() if st[0] == clat.num_frames]
+    if not finals:
+        return [], math.inf
+    total, st = min(finals, key=lambda x: x[0])
+    words: List[int] = []
+    while st is not None:
+        prev, w = back[st]
+        if w is not None and w != silence:
+            words.append(w)
+        st = prev
+    words.reverse()
+    return words, total

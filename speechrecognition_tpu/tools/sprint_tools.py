@@ -140,12 +140,18 @@ def lattice_processor(args: Sequence[str], out=sys.stdout) -> int:
     """lattice-processor <archive-dir> <vocab-file> <op> [args...]
 
     ops: best | n-best <n> | prune <-log-posterior> <out-archive> |
-         cn-decode | push <out-archive> |
-         compose-linear <transcript-file> | oracle-wer <transcript-file>
+         cn-decode | cn-decode-pivot | push <out-archive> |
+         compose-linear <transcript-file> | oracle-wer <transcript-file> |
+         union <out-archive> <in-archive2> [<in-archive3>...] |
+         mesh <out-archive> | determinize | minimize |
+         rescore-arpa <arpa-file> [<scale>]
     Vocab file: one word per line (index = word id). Transcript files:
     "<name>\\t<words...>" per line (words in vocab)."""
     from ..search.flf import (LatticeArchive, cn_decode, compose_linear,
-                              confusion_network, push_lattice)
+                              confusion_network, determinize_lattice,
+                              mesh_lattice, minimize_lattice,
+                              pivot_confusion_network, push_lattice,
+                              rescore_arpa, union_lattices)
     arch_path, vocab_path, op = args[0], args[1], args[2]
     with open(vocab_path) as f:
         vocab = [l.strip() for l in f if l.strip()]
@@ -183,6 +189,59 @@ def lattice_processor(args: Sequence[str], out=sys.stdout) -> int:
         dst = LatticeArchive(args[4] if len(args) > 4 else args[3], vocab)
         for name in names:
             dst.write(name, push_lattice(arch.read(name)))
+        return 0
+    if op == "cn-decode-pivot":
+        for name in names:
+            lat = arch.read(name)
+            hyp = cn_decode(pivot_confusion_network(lat))
+            text = " ".join(vocab[w] for w in hyp if w != lat.silence)
+            print(f"{name}\t{text}", file=out)
+        return 0
+    if op == "union":
+        dst = LatticeArchive(args[3], vocab)
+        others = [LatticeArchive(p, vocab) for p in args[4:]]
+        for name in names:
+            lats = [arch.read(name)] + [o.read(name) for o in others
+                                        if name in o.list()]
+            dst.write(name, union_lattices(lats))
+        return 0
+    if op == "mesh":
+        dst = LatticeArchive(args[3], vocab)
+        for name in names:
+            dst.write(name, mesh_lattice(arch.read(name)))
+        return 0
+    if op in ("determinize", "minimize"):
+        fn = determinize_lattice if op == "determinize" else minimize_lattice
+        for name in names:
+            lat = arch.read(name)
+            a = fn(lat)
+            from ..fsa.ops import best_path as fsa_best
+            labels, _states, score = fsa_best(a)
+            text = " ".join(vocab[w] for w in labels
+                            if 0 <= w < len(vocab) and w != lat.silence)
+            print(f"{name}\t{a.num_states} states\t{a.num_arcs} arcs\t"
+                  f"{score:.4f}\t{text}", file=out)
+        return 0
+    if op == "rescore-arpa":
+        # requires a CONTEXT archive (split am/lm arc fields, written by
+        # LatticeArchive(context=True)); detected from the SLF header
+        from ..lm.arpa import ArpaLM
+        import gzip as _gzip
+        lm = ArpaLM(args[3])
+        scale = float(args[4]) if len(args) > 4 else 1.0
+        if names:
+            with _gzip.open(arch._file(names[0]), "rt") as f:
+                head = f.read(4096)
+            if "num_contexts=" not in head:
+                print("rescore-arpa: archive is not a context archive "
+                      "(no split am/lm fields)", file=sys.stderr)
+                return 1
+        carch = LatticeArchive(arch_path, vocab, context=True)
+        for name in names:
+            lat = carch.read(name)
+            words, score = rescore_arpa(lat, lm, vocab, scale=scale)
+            text = " ".join(vocab[w] for w in words if w != lat.silence)
+            print(f"{name}\t{score:.4f}\t{text}", file=out)
         return 0
     if op in ("compose-linear", "oracle-wer"):
         word_idx = {w: i for i, w in enumerate(vocab)}

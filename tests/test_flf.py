@@ -206,3 +206,133 @@ def test_context_lattice_archive(tmp_path):
     assert back.best_words() == lat.best_words()
     assert sorted((a.start, a.pred, a.end, a.word) for a in back.arcs) == \
         sorted((a.start, a.pred, a.end, a.word) for a in arcs)
+
+
+# -- lattice-level structural ops (round-3 Flf breadth) -----------------------
+
+def test_union_merges_paths():
+    from speechrecognition_tpu.search.flf import union_lattices
+
+    a = toy_lattice()
+    b = WordLattice(num_frames=10,
+                    arcs=[Arc(0, 4, 1, 0.8), Arc(4, 10, 4, 0.3)], silence=0)
+    u = union_lattices([a, b])
+    # every input path exists in the union
+    for lat in (a, b):
+        w, _ = lat.best_path()
+        assert any(True for _ in [0])  # structural check below
+    keys = {(x.start, x.end, x.word) for x in u.arcs}
+    assert {(x.start, x.end, x.word) for x in a.arcs} <= keys
+    assert {(x.start, x.end, x.word) for x in b.arcs} <= keys
+    # the duplicate (0,4,word 1) arc merged by log-add: mass increases
+    merged = next(x for x in u.arcs if (x.start, x.end, x.word) == (0, 4, 1))
+    assert merged.score < min(0.8, 1.0)
+    # union best path is at least as good as each input's
+    wu, su = u.best_path()
+    for lat in (a, b):
+        _, s = lat.best_path()
+        assert su <= s + 1e-9
+
+
+def test_trim_and_mesh_drop_dead_arcs():
+    from speechrecognition_tpu.search.flf import mesh_lattice, trim_lattice
+
+    arcs = [Arc(0, 4, 1, 1.0), Arc(4, 10, 2, 0.5),
+            Arc(5, 7, 3, 0.1)]       # dangling: nothing reaches frame 5
+    lat = WordLattice(num_frames=10, arcs=arcs, silence=0)
+    t = trim_lattice(lat)
+    assert {(a.start, a.end) for a in t.arcs} == {(0, 4), (4, 10)}
+    m = mesh_lattice(lat)
+    assert {(a.start, a.end) for a in m.arcs} == {(0, 4), (4, 10)}
+
+
+def test_determinize_minimize_lattice():
+    from speechrecognition_tpu.search.flf import (determinize_lattice,
+                                                  minimize_lattice)
+
+    lat = toy_lattice()
+    det = determinize_lattice(lat)
+    # deterministic: no state has two out-arcs with one label
+    outs = {}
+    for i in range(det.num_arcs):
+        key = (int(det.src[i]), int(det.ilabel[i]))
+        assert key not in outs, "nondeterministic arc"
+        outs[key] = i
+    # best path is preserved exactly
+    from speechrecognition_tpu.fsa.ops import best_path as fsa_best
+    labels, _states, score = fsa_best(det)
+    words, want = lat.best_path()
+    assert labels == words
+    assert score == pytest.approx(want, abs=1e-9)
+    mini = minimize_lattice(lat)
+    assert mini.num_states <= det.num_states
+    labels2, _s2, score2 = fsa_best(mini)
+    assert labels2 == words
+    assert score2 == pytest.approx(want, abs=1e-9)
+
+
+def test_pivot_confusion_network():
+    from speechrecognition_tpu.search.flf import pivot_confusion_network
+
+    slots = pivot_confusion_network(toy_lattice(), silence_as_eps=False)
+    # skeleton = the 3-arc best path; competitor word 3 joins slot 2
+    assert len(slots) == 3
+    assert set(slots[1].probs) == {2, 3}
+    assert slots[1].probs[2] > slots[1].probs[3]
+    assert cn_decode(slots) == [1, 2, 4]
+
+
+def test_rescore_arpa_matches_brute_force(tmp_path):
+    from speechrecognition_tpu.lm.arpa import ArpaLM
+    from speechrecognition_tpu.search.context_lattice import (CArc,
+                                                              ContextLattice)
+    from speechrecognition_tpu.search.flf import rescore_arpa
+
+    vocab = VOCAB
+    # trigram ARPA over the toy vocabulary
+    arpa = tmp_path / "toy.arpa"
+    arpa.write_text("""
+\\data\\
+ngram 1=7
+ngram 2=2
+ngram 3=1
+
+\\1-grams:
+-0.8\t<s>\t-0.3
+-0.9\t</s>
+-0.7\teins\t-0.2
+-0.8\tzwei\t-0.2
+-0.9\tdrei\t-0.1
+-1.0\tvier\t-0.1
+-2.0\t<unk>
+
+\\2-grams:
+-0.3\teins zwei\t-0.1
+-0.4\t<s> eins\t-0.1
+
+\\3-grams:
+-0.2\teins zwei vier
+
+\\end\\
+""")
+    lm = ArpaLM(str(arpa))
+    W = len(vocab)
+    arcs = [CArc(0, W, 4, 1, am=10.0, lm=0.0),
+            CArc(4, 1, 8, 2, am=9.0, lm=0.0),
+            CArc(4, 1, 8, 3, am=8.5, lm=0.0),
+            CArc(8, 2, 10, 4, am=3.0, lm=0.0),
+            CArc(8, 3, 10, 4, am=3.0, lm=0.0)]
+    clat = ContextLattice(num_frames=10, num_contexts=W + 1, arcs=arcs,
+                          silence=0)
+    scale = 5.0
+    words, score = rescore_arpa(clat, lm, vocab, scale=scale)
+
+    def path_cost(seq):
+        am = {(1, 2, 4): 10.0 + 9.0 + 3.0, (1, 3, 4): 10.0 + 8.5 + 3.0}[seq]
+        toks = [vocab[w] for w in seq]
+        return am + scale * lm.sentence_score(toks)
+
+    want = min(path_cost((1, 2, 4)), path_cost((1, 3, 4)))
+    assert score == pytest.approx(want, abs=1e-9)
+    assert list(words) == [1, 2, 4] if want == path_cost((1, 2, 4)) \
+        else [1, 3, 4]
