@@ -67,6 +67,8 @@ def test_transition_model_from_config(an4):
 
 
 @needs_an4
+@pytest.mark.slow  # ~90s: full AN4 train+decode loop (covered at smaller
+# scale by the arpa-bigram decode test in the default tier)
 def test_an4_train_decode_smoke(an4):
     """Train a tiny tied-state GMM on 40 cache utterances (forced-aligned
     from linear segmentation + realign) and decode them — the in-domain
@@ -211,6 +213,8 @@ def test_an4_arpa_bigram_decode(an4_arpa_setup):
 
 
 @needs_an4
+@pytest.mark.slow  # ~240s: the WCTS+lookahead AN4 decode; the default tier
+# keeps the bigram AN4 decode and the demo-corpus WCTS equivalence tests
 def test_an4_wcts_lookahead_decode(an4_arpa_setup):
     """Word-conditioned tree search with compressed LM lookahead on the
     real AN4 prefix tree (shared triphone-state prefixes across 100+
