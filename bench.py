@@ -162,6 +162,48 @@ def main():
         log(f"scaling: {r['row']:>8s}  "
             f"{r['audio_s_per_s_per_chip']:.0f} audio-s/s per chip")
 
+    # NN-hybrid decode row (reference: RTF 0.31, WER 25.34%, main.tex:266)
+    nn_meta = {}
+    nn_meta_path = os.path.join(REPO, "bench", "nn_run", "model.json")
+    remaining = budget - (time.perf_counter() - T_START)
+    if (os.path.exists(nn_meta_path) and not os.environ.get("BENCH_MESH")
+            and remaining > 90):
+        import numpy as _np
+        from speechrecognition_tpu.models.nn import (MLP, NNScorer,
+                                                     layer_specs_from_config)
+        with open(nn_meta_path) as f:
+            nnm = json.load(f)
+        nn_cfg = Configuration({"layers": nnm["layers"]})
+        ctx = int(nnm.get("context_frames", 2))
+        mlp = MLP(layer_specs_from_config(nn_cfg), input_dim=25 * (2 * ctx + 1))
+        params = mlp.load(os.path.join(REPO, nnm["model_path"]))
+        prior = NNScorer.load_prior(os.path.join(REPO, nnm["prior_file"]),
+                                    lex.num_states,
+                                    float(nnm.get("prior_scale", 1.2)))
+        nn_tdp_vals = nnm.get("tdp", [4.0, 0.0, 30.0])
+        nn_tdp = TdpModel(silence_state=lex.silence_state,
+                          loop=nn_tdp_vals[0], forward=nn_tdp_vals[1],
+                          skip=nn_tdp_vals[2])
+        nn_config = Configuration({
+            "am-threshold": nnm.get("am_threshold", 200.0),
+            "word-penalty": nnm.get("word_penalty", 105.0),
+            "pruned-search": True, "max-recognition-runs": 10 ** 9})
+        rec_nn = Recognizer(nn_config, lex, nn_tdp,
+                            model.pack(dtype=jnp.float32),
+                            dtype=jnp.float32)
+        rec_nn.nn_scorer = NNScorer(mlp, params, prior, ctx)
+        log("NN-hybrid decode row")
+        nn_deadline = budget - (time.perf_counter() - T_START) - 15.0
+        res_nn = rec_nn.recognize_corpus(corpus, batch_size=batch_size,
+                                         deadline_s=nn_deadline, log=log)
+        nn_meta = {"nn_rtf": res_nn["rtf"],
+                   "nn_vs_baseline": 0.31 / res_nn["rtf"],
+                   "nn_wer": res_nn["wer"],
+                   "nn_coverage": res_nn["coverage"]}
+        log(f"NN: WER {res_nn['wer']:.4f}%  RTF {res_nn['rtf']:.6f} "
+            f"({0.31 / res_nn['rtf']:.0f}x the 0.31 reference), "
+            f"coverage {100 * res_nn['coverage']:.1f}%")
+
     train_meta = {}
     if meta.get("train_seconds"):
         train_meta = {"train_s": meta["train_seconds"],
@@ -179,6 +221,7 @@ def main():
         "dtype": bench_dtype,
         "coverage": cov,
         "wer": res["wer"],
+        **nn_meta,
         **train_meta,
     }))
 

@@ -71,3 +71,26 @@ class FileArchive:
             except OSError:
                 return zlib.decompress(data)
         return data
+
+
+def write_file_archive(path: str, entries: Dict[str, bytes],
+                       compress: bool = False) -> None:
+    """Write a Sprint SP_ARC1 archive readable by FileArchive (and the
+    reference's Core/FileArchive.cc): the block format documented above,
+    no trailing info table (readers scan blocks)."""
+    with open(path, "wb") as f:
+        f.write(MAGIC)
+        f.write(b"\x00")             # no info table
+        for name, data in entries.items():
+            raw = data
+            usize = 0
+            if compress:
+                usize = len(data)
+                raw = gzip.compress(data)
+            nb = name.encode("utf-8")
+            f.write(struct.pack("<I", START_TAG))
+            f.write(struct.pack("<I", len(nb)) + nb)
+            f.write(struct.pack("<III", len(raw), usize,
+                                zlib.crc32(data) & 0xFFFFFFFF))
+            f.write(raw)
+            f.write(struct.pack("<I", END_TAG))

@@ -110,3 +110,78 @@ def test_sprint_config():
     assert cfg.get_float("x.acoustic-model.tdp.silence.loop") == 0.0001
     assert cfg.get_float("x.acoustic-model.tdp.entry-m1.loop") == float("inf")
     assert cfg.get_int("y.acoustic-model.hmm.states-per-phone") == 3
+
+
+# -- Core odds-and-ends (round-3): bundles, MD5, progress, rusage -------------
+
+def test_file_archive_write_read_roundtrip(tmp_path):
+    from speechrecognition_tpu.sprint.archive import (FileArchive,
+                                                      write_file_archive)
+
+    entries = {"a.feat": b"hello world", "dir/b.bin": bytes(range(256))}
+    p = str(tmp_path / "t.archive")
+    write_file_archive(p, entries)
+    arch = FileArchive(p)
+    assert set(arch.keys()) == set(entries)
+    for k, v in entries.items():
+        assert arch.read(k) == v
+    pc = str(tmp_path / "c.archive")
+    write_file_archive(pc, entries, compress=True)
+    archc = FileArchive(pc)
+    for k, v in entries.items():
+        assert archc.read(k) == v
+
+
+def test_bundle_archive(tmp_path):
+    from speechrecognition_tpu.sprint.archive import write_file_archive
+    from speechrecognition_tpu.sprint.core_utils import BundleArchive
+
+    write_file_archive(str(tmp_path / "m1.archive"), {"x": b"one"})
+    write_file_archive(str(tmp_path / "m2.archive"), {"y": b"two",
+                                                      "x": b"shadowed"})
+    bundle = tmp_path / "all.bundle"
+    bundle.write_text("m1.archive\nm2.archive\n")
+    b = BundleArchive(str(bundle))
+    assert set(b.keys()) == {"x", "y"}
+    assert b.read("x") == b"one"      # first member wins (bundle order)
+    assert b.read("y") == b"two"
+    # index round-trip
+    b.write_index()
+    b2 = BundleArchive(str(bundle))
+    assert b2.read("y") == b"two"
+
+
+def test_md5_and_rusage(tmp_path):
+    import hashlib
+
+    from speechrecognition_tpu.sprint.core_utils import (MD5,
+                                                         resource_usage_info)
+
+    m = MD5().update("abc").update(b"def")
+    assert str(m) == hashlib.md5(b"abcdef").hexdigest()
+    f = tmp_path / "blob"
+    f.write_bytes(b"x" * 100000)
+    assert str(MD5().update_from_file(str(f))) == \
+        hashlib.md5(b"x" * 100000).hexdigest()
+
+    info = resource_usage_info()
+    assert info["user_s"] >= 0 and info["peak_rss_bytes"] > 0
+
+
+def test_progress_indicator(capsys):
+    import io
+
+    from speechrecognition_tpu.sprint.core_utils import ProgressIndicator
+
+    class Tty(io.StringIO):
+        def isatty(self):
+            return True
+
+    out = Tty()
+    p = ProgressIndicator("scan", out=out, min_interval=0.0)
+    p.start(10)
+    for _ in range(10):
+        p.notify()
+    elapsed = p.finish()
+    assert elapsed >= 0
+    assert "scan" in out.getvalue() and "10" in out.getvalue()
