@@ -63,7 +63,12 @@ def linear_segmentation_approximation(energy: np.ndarray) -> Tuple[int, int]:
 
 
 def linear_segmentation_running_sums(energy: np.ndarray) -> Tuple[int, int]:
-    """Exact K=4 DP over boundary positions (Training.cpp:350-425)."""
+    """Exact K=4 DP over boundary positions (Training.cpp:350-425).
+
+    Vectorized over the whole [N, N] (n, n') candidate matrix per k —
+    same arithmetic (f32 prefix differences cast to f64, strict-< with
+    ascending-n' first-minimum tie-breaking) without the per-(k, n)
+    Python loop that dominated full-corpus setup time."""
     N = energy.shape[0]
     cost, sq = _prefix_sums(energy)
     K = 4
@@ -71,18 +76,20 @@ def linear_segmentation_running_sums(energy: np.ndarray) -> Tuple[int, int]:
     backprop = np.zeros((K, N), dtype=np.int64)
     costs_matrix[0, 0] = 0.0
 
-    n_idx = np.arange(N)
+    n = np.arange(N)
+    lower = n[:, None] > n[None, :]          # n' < n
+    tmp = (cost[:, None] - cost[None, :]).astype(np.float64)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        local = ((sq[:, None] - sq[None, :]).astype(np.float64)
+                 - tmp * tmp / (n[:, None] - n[None, :]))
     for k in range(1, K):
-        for n in range(1, N):
-            npr = n_idx[:n]
-            tmp = (cost[n] - cost[npr]).astype(np.float64)
-            local = (sq[n] - sq[npr]).astype(np.float64) - tmp * tmp / (n - npr)
-            cand = costs_matrix[k - 1, :n].astype(np.float64) + local
-            # strict-< update scanning n' ascending → first minimum wins
-            j = int(np.argmin(cand))
-            if cand[j] < costs_matrix[k, n]:
-                costs_matrix[k, n] = cand[j]
-                backprop[k, n] = j
+        cand = costs_matrix[k - 1][None, :].astype(np.float64) + local
+        cand = np.where(lower, cand, np.inf)
+        j = np.argmin(cand, axis=1)          # first minimum per row
+        best = cand[n, j]
+        upd = best < costs_matrix[k]         # rows n ≥ 1 with a real path
+        costs_matrix[k, upd] = best[upd]
+        backprop[k, upd] = j[upd]
     b2 = int(backprop[K - 1, N - 1])
     b1 = int(backprop[K - 2, b2])
     return b1, b2
