@@ -458,7 +458,8 @@ def align_batch_chunked(pack, feats, feat_len: np.ndarray,
                         pruning_threshold: Optional[float] = 50.0,
                         tie_pruned: bool = True, dtype=jnp.float32,
                         chunk: int = ALIGN_CHUNK,
-                        ) -> Tuple[np.ndarray, np.ndarray]:
+                        return_device: bool = False,
+                        ) -> Tuple[np.ndarray, Optional[np.ndarray]]:
     """`align_batch` with time-chunked fixed-shape programs: ONE forward
     program (per dtype path), ONE backward program, and the shared
     per-chunk acoustic scoring program cover every padded length.
@@ -466,7 +467,13 @@ def align_batch_chunked(pack, feats, feat_len: np.ndarray,
     feats may be a host array or a device-resident f32 [B, T, dim] array
     (the trainer passes device gathers). Returns (states int32 [B, T],
     costs [B]) — identical to `align_batch` (cross-checked by the EM
-    parity suite, which drives the trainer through this path)."""
+    parity suite, which drives the trainer through this path).
+
+    ``return_device=True`` keeps the ENTIRE pass (final-position rule,
+    backtrack, state gather) on device and returns the [B, T] int16
+    device states array WITHOUT blocking (costs None): the caller batches
+    its fetches so a whole realign pass pays one synchronization, not one
+    per batch — tunnel round trips, not FLOPs, dominated the align phase."""
     from ..models import gmm as gmm_mod
     from ..ops import doublefloat as dfm
 
@@ -518,7 +525,22 @@ def align_batch_chunked(pack, feats, feat_len: np.ndarray,
                 tie_pruned=tie_pruned, use_pruning=use_pruning)
         jumps_chunks.append(jumps)
 
-    final_hi = np.asarray(prev[0] if is_df else prev)
+    aut_len_dev = jnp.asarray(tables.lengths, jnp.int32)
+    final_hi_dev = prev[0] if is_df else prev
+    if return_device:
+        fp = _final_pos_dev(final_hi_dev.astype(jnp.float32), aut_len_dev,
+                            tie_pruned=tie_pruned)
+        cur = fp
+        pos_chunks = [None] * n_chunks
+        for ci in range(n_chunks - 1, -1, -1):
+            cur, pos = _align_bwd_chunk(cur, jumps_chunks[ci], lens, fp,
+                                        jnp.asarray(ci * chunk, jnp.int32))
+            pos_chunks[ci] = pos
+        pos_cat = (pos_chunks[0] if n_chunks == 1
+                   else jnp.concatenate(pos_chunks, axis=0))[:T]
+        return _states_from_positions(pos_cat, states_tbl), None
+
+    final_hi = np.asarray(final_hi_dev)
     finite = final_hi < BIG * 0.5
     pos_ids = np.arange(A)[None, :]
     if tie_pruned:
@@ -547,3 +569,26 @@ def align_batch_chunked(pack, feats, feat_len: np.ndarray,
     states = np.take_along_axis(tables.states, positions.astype(np.int64),
                                 axis=1)
     return states.astype(np.int32), costs
+
+
+@partial(jax.jit, static_argnames=("tie_pruned",))
+def _final_pos_dev(final_hi: jnp.ndarray, aut_len: jnp.ndarray,
+                   tie_pruned: bool = True) -> jnp.ndarray:
+    """Device-side final-position rule (pruned: highest reached finite
+    position, Alignment.cpp:248-253; full DP: forced last position) — so
+    the chunked aligner needs NO mid-pass host fetch."""
+    B, A = final_hi.shape
+    if tie_pruned:
+        finite = final_hi < jnp.float32(BIG * 0.5)
+        pos = jnp.max(jnp.where(finite, jnp.arange(A)[None, :], -1), axis=1)
+        return jnp.maximum(pos, 0).astype(jnp.int32)
+    return (aut_len - 1).astype(jnp.int32)
+
+
+@jax.jit
+def _states_from_positions(pos_cat: jnp.ndarray, states_tbl: jnp.ndarray,
+                           ) -> jnp.ndarray:
+    """[T, B] int16 positions + [B, A] state table → [B, T] int16 aligned
+    states (the only array the host ever fetches per batch)."""
+    positions = pos_cat.T.astype(jnp.int32)            # [B, T]
+    return jnp.take_along_axis(states_tbl, positions, axis=1).astype(jnp.int16)

@@ -209,12 +209,20 @@ class Trainer:
 
     def _realign(self, corpus: Corpus, tables_all: AlignerTables,
                  alignment: np.ndarray) -> None:
+        """One whole-corpus realignment. The batch loop only DISPATCHES
+        device work (align_batch_chunked return_device=True keeps the
+        final-position rule, backtrack, and state gather on device); the
+        [B, T] int16 state arrays are fetched together afterwards, so the
+        pass pays one synchronization point, not one per batch — the
+        tunnel's round-trip latency, not alignment FLOPs, dominated this
+        phase."""
         t0 = time.perf_counter()
         self._device_corpus(corpus)
         pack = self._pack()
         thr = self.cfg.pruning_threshold if self.cfg.alignment_pruning else None
         order = np.argsort(corpus.lengths, kind="stable")
         Bsz = self.cfg.batch_size
+        pending = []
         for i in range(0, corpus.num_segments, Bsz):
             ids = order[i: i + Bsz].tolist()
             n_real = len(ids)
@@ -234,10 +242,14 @@ class Trainer:
             tables = AlignerTables(states=tables_all.states[ids],
                                    lengths=tables_all.lengths[ids],
                                    tdp=tables_all.tdp[ids])
-            states, _costs = align_batch_chunked(
+            states_dev, _ = align_batch_chunked(
                 pack, feats, lens, tables, pruning_threshold=thr,
-                tie_pruned=self.cfg.alignment_pruning, dtype=self.dtype)
-            for b, s in enumerate(ids[:n_real]):
+                tie_pruned=self.cfg.alignment_pruning, dtype=self.dtype,
+                return_device=True)
+            pending.append((ids[:n_real], lens, states_dev))
+        for ids, lens, states_dev in pending:
+            states = np.asarray(states_dev)
+            for b, s in enumerate(ids):
                 o = corpus.feature_offsets[s]
                 alignment[o: o + lens[b]] = states[b, : lens[b]]
         self.phase_seconds["align"] += time.perf_counter() - t0
