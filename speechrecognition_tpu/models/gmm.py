@@ -901,3 +901,121 @@ def em_am_score_corpus(pack: ScorePack, feats_chunks: jnp.ndarray,
         body, jnp.zeros((), jnp.float64),
         (feats_chunks, states_chunks, mask_chunks))
     return total
+
+
+# -- state-sorted E-step passes ----------------------------------------------
+# Frames grouped by their aligned mixture: each BLOCK scores against ONE
+# mixture's [D, dim] parameters (VMEM-resident) — the reference's
+# aligned-mixture-only scoring (Mixtures.cpp:296-305), ~S× less arithmetic
+# than full-table scoring and none of the per-frame parameter-gather
+# bandwidth. The trainer builds the sorted block index once per
+# realignment and reuses it for every estimate pass under that alignment.
+
+EM_BLOCK = 4096
+
+
+def sorted_blocks(alignment: np.ndarray, num_mixtures: int,
+                  block: int = EM_BLOCK):
+    """Host-side grouping: frame indices sorted by aligned state, cut into
+    per-state blocks of ``block`` rows (padded with -1). Returns
+    (frame_idx int32 [NB, block], block_state int32 [NB], NB_used) with NB
+    padded to the alignment-independent capacity ceil(N/block) + S so the
+    device pass compiles once."""
+    N = alignment.shape[0]
+    order = np.argsort(alignment, kind="stable")
+    counts = np.bincount(alignment, minlength=num_mixtures)
+    nb_cap = -(-N // block) + num_mixtures
+    frame_idx = np.full((nb_cap, block), -1, np.int64)
+    block_state = np.zeros(nb_cap, np.int32)
+    nb = 0
+    pos = 0
+    for s in range(num_mixtures):
+        n_s = int(counts[s])
+        for off in range(0, n_s, block):
+            rows = order[pos + off: pos + min(off + block, n_s)]
+            frame_idx[nb, : rows.shape[0]] = rows
+            block_state[nb] = s
+            nb += 1
+        pos += n_s
+    return frame_idx, block_state, nb
+
+
+@partial(jax.jit, static_argnames=("first_pass",))
+def em_pass_sorted(pack, frames: jnp.ndarray, mask: jnp.ndarray,
+                   block_state: jnp.ndarray, first_pass: bool = False):
+    """One fused AM-score + E-step pass over state-sorted frame blocks.
+
+    frames f32 [NB, BLOCK, dim] (rows gathered in sorted order, padding
+    rows arbitrary), mask f32 [NB, BLOCK], block_state int32 [NB].
+    Returns (score_total f64, w [S,D], xs [S,D,dim], x2s [S,D,dim]) —
+    the same statistics as em_accumulate_corpus/em_am_score_corpus (f64
+    sums of f32-derived values are exact, hence order-independent) and
+    the same per-frame decisions (identical df op order per density).
+    """
+    is_df = isinstance(pack, ScorePackDF)
+    S, D, dim = pack.num_mixtures, pack.density_cap, pack.dim
+    if not (first_pass or pack.max_approx):
+        raise NotImplementedError("sorted EM pass covers max-approx only")
+
+    if is_df:
+        from ..ops import doublefloat as dfm
+        mu3 = dfm.DF(pack.mu.hi.reshape(S, D, dim),
+                     pack.mu.lo.reshape(S, D, dim))
+        iv3 = dfm.DF(pack.iv.hi.reshape(S, D, dim),
+                     pack.iv.lo.reshape(S, D, dim))
+        norm2 = dfm.DF(pack.norm.hi.reshape(S, D), pack.norm.lo.reshape(S, D))
+        logw2 = dfm.DF(pack.logw.hi.reshape(S, D), pack.logw.lo.reshape(S, D))
+    else:
+        P3 = pack.P.reshape(-1, S, D)                  # [K, S, D]
+
+    def body(carry, inp):
+        total, w, xs, x2s = carry
+        f, m, s = inp                                   # [BLOCK, dim], [BLOCK], ()
+        if is_df:
+            from ..ops import doublefloat as dfm
+            x = f.astype(jnp.float32)
+            acc = dfm.DF(jnp.zeros((f.shape[0], D), jnp.float32),
+                         jnp.zeros((f.shape[0], D), jnp.float32))
+            for i in range(dim):
+                mu_i = dfm.DF(mu3.hi[s, :, i][None, :], mu3.lo[s, :, i][None, :])
+                iv_i = dfm.DF(iv3.hi[s, :, i][None, :], iv3.lo[s, :, i][None, :])
+                diff = dfm.add_f(dfm.neg(mu_i), x[:, i, None])
+                acc = dfm.add(acc, dfm.mul(dfm.mul(diff, diff), iv_i))
+            half = dfm.DF(acc.hi * 0.5, acc.lo * 0.5)
+            sc = dfm.add(dfm.DF(norm2.hi[s][None, :], norm2.lo[s][None, :]),
+                         half)
+            sc = dfm.add(sc, dfm.neg(dfm.DF(logw2.hi[s][None, :],
+                                            logw2.lo[s][None, :])))
+            mn = dfm.min_axis(sc, axis=-1)
+            eq = (sc.hi == mn.hi[:, None]) & (sc.lo == mn.lo[:, None])
+            best = jnp.argmax(eq, axis=-1).astype(jnp.int32)
+            capped_hi = jnp.minimum(mn.hi, jnp.float32(MIN_SCORE_INIT))
+            capped_lo = jnp.where(mn.hi < jnp.float32(MIN_SCORE_INIT),
+                                  mn.lo, 0.0)
+            fs64 = (capped_hi.astype(jnp.float64)
+                    + capped_lo.astype(jnp.float64))
+        else:
+            X = pack.features_expanded(f.astype(pack.dtype))  # [BLOCK, K]
+            sc = X @ P3[:, s, :]                              # [BLOCK, D]
+            best = jnp.argmin(sc, axis=-1).astype(jnp.int32)
+            fs64 = jnp.minimum(sc.min(axis=-1),
+                               MIN_SCORE_INIT).astype(jnp.float64)
+        if first_pass:
+            best = jnp.zeros_like(best)
+        total = total + (fs64 * m).sum()
+        f64 = f.astype(jnp.float64)
+        m64 = m.astype(jnp.float64)
+        cw = jax.ops.segment_sum(m64, best, num_segments=D)
+        cxs = jax.ops.segment_sum(f64 * m64[:, None], best, num_segments=D)
+        cx2s = jax.ops.segment_sum(f64 * f64 * m64[:, None], best,
+                                   num_segments=D)
+        return (total, w.at[s].add(cw), xs.at[s].add(cxs),
+                x2s.at[s].add(cx2s)), None
+
+    init = (jnp.zeros((), jnp.float64),
+            jnp.zeros((S, D), jnp.float64),
+            jnp.zeros((S, D, dim), jnp.float64),
+            jnp.zeros((S, D, dim), jnp.float64))
+    (total, w, xs, x2s), _ = jax.lax.scan(
+        body, init, (frames, mask, block_state))
+    return total, w, xs, x2s

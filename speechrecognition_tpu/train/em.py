@@ -106,6 +106,11 @@ class Trainer:
         self._dev_chunks = None
         self._dev_mask = None
         self._dev_flat = None
+        #: state-sorted block cache for the E-step passes: rebuilt when
+        #: the alignment changes (one gather per realignment, reused by
+        #: every estimate/score pass under that alignment)
+        self._align_version = 0
+        self._sorted_cache = None
         self.phase_seconds = {"estimate": 0.0, "align": 0.0, "score": 0.0}
 
     # -- device helpers ------------------------------------------------------
@@ -154,14 +159,42 @@ class Trainer:
         st[: alignment.shape[0]] = alignment
         return jnp.asarray(st.reshape(K, C))
 
+    def _sorted_corpus(self, corpus: Corpus, alignment: np.ndarray):
+        """State-sorted frame blocks (models/gmm.sorted_blocks) gathered
+        on device, cached per alignment version: every E-step/AM-score
+        pass under one alignment reuses ONE [NB, BLOCK, dim] gather."""
+        from ..models.gmm import sorted_blocks
+
+        if (self._sorted_cache is not None
+                and self._sorted_cache[0] == self._align_version):
+            return self._sorted_cache[1:]
+        self._device_corpus(corpus)
+        frame_idx, block_state, _nb = sorted_blocks(
+            alignment, self.model.num_mixtures)
+        mask = jnp.asarray((frame_idx >= 0).astype(np.float32))
+        idx = jnp.asarray(np.maximum(frame_idx, 0))
+        frames = self._dev_flat[idx]                    # [NB, BLOCK, dim]
+        bs = jnp.asarray(block_state)
+        self._sorted_cache = (self._align_version, frames, mask, bs)
+        return frames, mask, bs
+
+    def _em_pass(self, corpus: Corpus, alignment: np.ndarray,
+                 first_pass: bool = False):
+        """One fused AM-score + E-step pass over the sorted blocks;
+        returns (per-frame score, stats)."""
+        from ..models.gmm import em_pass_sorted
+
+        frames, mask, bs = self._sorted_corpus(corpus, alignment)
+        pack = self._pack()
+        total, w, xs, x2s = em_pass_sorted(pack, frames, mask, bs,
+                                           first_pass=first_pass)
+        return float(total) / corpus.total_frames, (w, xs, x2s)
+
     def _accumulate(self, corpus: Corpus, alignment: np.ndarray,
                     first_pass: bool) -> None:
         """One E-step over the whole corpus: one fused device pass."""
         t0 = time.perf_counter()
-        chunks, mask = self._device_corpus(corpus)
-        pack = self._pack()
-        w, xs, x2s = em_accumulate_corpus(
-            pack, chunks, self._states_chunks(alignment), mask, first_pass)
+        _score, (w, xs, x2s) = self._em_pass(corpus, alignment, first_pass)
         self.model.apply_statistics(np.asarray(w), np.asarray(xs),
                                     np.asarray(x2s))
         self.phase_seconds["estimate"] += time.perf_counter() - t0
@@ -171,16 +204,10 @@ class Trainer:
         """Fused AM-score + E-step under the CURRENT model: one corpus
         pass and one device round trip where the estimate loop's
         score(M_k)/accumulate(M_k) pair would take two (results are the
-        pair's, bit-identical). The statistics are applied to the model
-        in place; the returned value is the per-frame AM score."""
-        from ..models.gmm import em_score_and_accumulate_corpus
-
+        pair's). The statistics are applied to the model in place; the
+        returned value is the per-frame AM score."""
         t0 = time.perf_counter()
-        chunks, mask = self._device_corpus(corpus)
-        pack = self._pack()
-        total, w, xs, x2s = em_score_and_accumulate_corpus(
-            pack, chunks, self._states_chunks(alignment), mask)
-        score = float(total) / corpus.total_frames
+        score, (w, xs, x2s) = self._em_pass(corpus, alignment)
         self.model.apply_statistics(np.asarray(w), np.asarray(xs),
                                     np.asarray(x2s))
         self.phase_seconds["estimate"] += time.perf_counter() - t0
@@ -190,12 +217,9 @@ class Trainer:
         """Average per-frame score under the current alignment
         (reference: Training.cpp:585-612)."""
         t0 = time.perf_counter()
-        chunks, mask = self._device_corpus(corpus)
-        pack = self._pack()
-        total = float(em_am_score_corpus(
-            pack, chunks, self._states_chunks(alignment), mask))
+        score, _stats = self._em_pass(corpus, alignment)
         self.phase_seconds["score"] += time.perf_counter() - t0
-        return total / corpus.total_frames
+        return score
 
     #: alignment padding buckets: a handful of (B, T) shapes ever compile
     #: (arbitrary 32-multiples caused ~40 distinct compiles per corpus)
@@ -252,6 +276,7 @@ class Trainer:
             for b, s in enumerate(ids):
                 o = corpus.feature_offsets[s]
                 alignment[o: o + lens[b]] = states[b, : lens[b]]
+        self._align_version += 1
         self.phase_seconds["align"] += time.perf_counter() - t0
 
     # -- the outer loop ------------------------------------------------------
@@ -297,6 +322,7 @@ class Trainer:
                     f"{cfg.segmentation_path}{corpus.names[s]}.seg",
                     energy, b1, b2)
 
+        self._align_version += 1
         self._accumulate(corpus, alignment, first_pass=True)
         self.model.finalize()
         score = self.calc_am_score(corpus, alignment)
@@ -376,6 +402,7 @@ class Trainer:
                     f"alignment dump {dump}: {states.shape[0]} frames != "
                     f"corpus {corpus.total_frames}")
             alignment[:] = states
+            self._align_version += 1
             self.log(f"resumed alignment from {dump}")
         else:
             self._realign(corpus, tables_all, alignment)
