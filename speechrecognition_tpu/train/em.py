@@ -271,13 +271,23 @@ class Trainer:
                 tie_pruned=self.cfg.alignment_pruning, dtype=self.dtype,
                 return_device=True)
             pending.append((ids[:n_real], lens, states_dev))
-        for ids, lens, states_dev in pending:
-            states = np.asarray(states_dev)
-            for b, s in enumerate(ids):
-                o = corpus.feature_offsets[s]
-                alignment[o: o + lens[b]] = states[b, : lens[b]]
+            # bound in-flight batches: enough queue depth to overlap the
+            # fetches with compute, not enough to pressure device memory
+            # with every batch's scoring intermediates at once
+            if len(pending) > 3:
+                self._drain_one(corpus, alignment, pending)
+        while pending:
+            self._drain_one(corpus, alignment, pending)
         self._align_version += 1
         self.phase_seconds["align"] += time.perf_counter() - t0
+
+    @staticmethod
+    def _drain_one(corpus: Corpus, alignment: np.ndarray, pending) -> None:
+        ids, lens, states_dev = pending.pop(0)
+        states = np.asarray(states_dev)
+        for b, s in enumerate(ids):
+            o = corpus.feature_offsets[s]
+            alignment[o: o + lens[b]] = states[b, : lens[b]]
 
     # -- the outer loop ------------------------------------------------------
 
