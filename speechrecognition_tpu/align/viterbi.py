@@ -592,3 +592,60 @@ def _states_from_positions(pos_cat: jnp.ndarray, states_tbl: jnp.ndarray,
     states (the only array the host ever fetches per batch)."""
     positions = pos_cat.T.astype(jnp.int32)            # [B, T]
     return jnp.take_along_axis(states_tbl, positions, axis=1).astype(jnp.int16)
+
+
+@partial(jax.jit, static_argnames=("T", "chunk", "tie_pruned", "use_pruning"))
+def _realign_batch_dev(pack, dev_flat: jnp.ndarray, idx: jnp.ndarray,
+                       lens: jnp.ndarray, states_tbl: jnp.ndarray,
+                       tdp_hi: jnp.ndarray, tdp_lo: jnp.ndarray,
+                       pos_valid: jnp.ndarray, aut_len: jnp.ndarray,
+                       thr_hi: jnp.ndarray, thr_lo: jnp.ndarray,
+                       T: int, chunk: int = ALIGN_CHUNK,
+                       tie_pruned: bool = True,
+                       use_pruning: bool = True) -> jnp.ndarray:
+    """One whole realign batch as ONE device program: feature gather from
+    the resident corpus, df32 acoustic scoring, chunked forward DP,
+    device-side final-position rule, chunked backtrack, and the
+    states-from-positions gather — a single dispatch + a single fetch per
+    batch (per-call tunnel latency, not FLOPs, dominated the align phase
+    when these were ~10 separate calls). ``pack`` is a ScorePackDF
+    (pytree); the f32/f64 trainer paths keep the unfused route."""
+    from ..models import gmm as gmm_mod
+
+    B = idx.shape[0]
+    dim = dev_flat.shape[1]
+    n_chunks = -(-T // chunk)
+    Tp = n_chunks * chunk
+    feats = dev_flat[idx]                                   # [B, T, dim]
+    feats = feats * (jnp.arange(T)[None, :, None] < lens[:, None, None])
+    if T < Tp:
+        feats = jnp.pad(feats, ((0, 0), (0, Tp - T), (0, 0)))
+    sidx = states_tbl[:, None, :].astype(jnp.int32)
+    A = states_tbl.shape[1]
+
+    prev = (jnp.full((B, A), BIG, jnp.float32), jnp.zeros((B, A), jnp.float32))
+    jumps_chunks = []
+    for ci in range(n_chunks):
+        fl = feats[:, ci * chunk:(ci + 1) * chunk].reshape(B * chunk, dim)
+        am = gmm_mod.am_scores_df(pack, fl)
+        S = pack.num_mixtures
+        ams_hi = jnp.take_along_axis(am.hi.reshape(B, chunk, S), sidx, axis=2)
+        ams_lo = jnp.take_along_axis(am.lo.reshape(B, chunk, S), sidx, axis=2)
+        hi, lo, jumps = _align_fwd_chunk_df(
+            prev[0], prev[1], ams_hi, ams_lo, tdp_hi, tdp_lo,
+            pos_valid, lens, thr_hi, thr_lo,
+            jnp.asarray(ci * chunk, jnp.int32),
+            tie_pruned=tie_pruned, use_pruning=use_pruning)
+        prev = (hi, lo)
+        jumps_chunks.append(jumps)
+
+    fp = _final_pos_dev(prev[0], aut_len, tie_pruned=tie_pruned)
+    cur = fp
+    pos_chunks = [None] * n_chunks
+    for ci in range(n_chunks - 1, -1, -1):
+        cur, pos = _align_bwd_chunk(cur, jumps_chunks[ci], lens, fp,
+                                    jnp.asarray(ci * chunk, jnp.int32))
+        pos_chunks[ci] = pos
+    pos_cat = (pos_chunks[0] if n_chunks == 1
+               else jnp.concatenate(pos_chunks, axis=0))[:T]
+    return _states_from_positions(pos_cat, states_tbl)

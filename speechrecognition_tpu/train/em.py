@@ -260,16 +260,39 @@ class Trainer:
             lens = np.minimum(corpus.lengths[ids], T).astype(np.int32)
             idx = offs + np.arange(T)[None, :]
             idx = np.where(np.arange(T)[None, :] < lens[:, None], idx, 0)
-            feats = self._dev_flat[jnp.asarray(idx)]
-            feats = feats * (jnp.arange(T)[None, :, None]
-                             < jnp.asarray(lens)[:, None, None])
             tables = AlignerTables(states=tables_all.states[ids],
                                    lengths=tables_all.lengths[ids],
                                    tdp=tables_all.tdp[ids])
-            states_dev, _ = align_batch_chunked(
-                pack, feats, lens, tables, pruning_threshold=thr,
-                tie_pruned=self.cfg.alignment_pruning, dtype=self.dtype,
-                return_device=True)
+            if self.dtype == "df32":
+                # whole batch as ONE device program (gather + scoring +
+                # DP + backtrack + state gather): one dispatch, one
+                # deferred fetch — per-call tunnel latency dominates this
+                # phase otherwise
+                from ..align.viterbi import _realign_batch_dev
+                from ..ops import doublefloat as dfm
+
+                tdp_df = dfm.from_f64(tables.tdp)
+                thr_df = dfm.from_f64(np.float64(thr if thr is not None
+                                                 else 0.0))
+                A = tables.states.shape[1]
+                pos_valid = (jnp.arange(A)[None, :]
+                             < jnp.asarray(tables.lengths)[:, None])
+                states_dev = _realign_batch_dev(
+                    pack, self._dev_flat, jnp.asarray(idx),
+                    jnp.asarray(lens), jnp.asarray(tables.states),
+                    tdp_df.hi, tdp_df.lo, pos_valid,
+                    jnp.asarray(tables.lengths, jnp.int32),
+                    thr_df.hi, thr_df.lo, T=T,
+                    tie_pruned=self.cfg.alignment_pruning,
+                    use_pruning=thr is not None)
+            else:
+                feats = self._dev_flat[jnp.asarray(idx)]
+                feats = feats * (jnp.arange(T)[None, :, None]
+                                 < jnp.asarray(lens)[:, None, None])
+                states_dev, _ = align_batch_chunked(
+                    pack, feats, lens, tables, pruning_threshold=thr,
+                    tie_pruned=self.cfg.alignment_pruning, dtype=self.dtype,
+                    return_device=True)
             pending.append((ids[:n_real], lens, states_dev))
             # bound in-flight batches: enough queue depth to overlap the
             # fetches with compute, not enough to pressure device memory
