@@ -167,7 +167,7 @@ def main():
     nn_meta_path = os.path.join(REPO, "bench", "nn_run", "model.json")
     remaining = budget - (time.perf_counter() - T_START)
     if (os.path.exists(nn_meta_path) and not os.environ.get("BENCH_MESH")
-            and remaining > 90):
+            and remaining > 150):
         import numpy as _np
         from speechrecognition_tpu.models.nn import (MLP, NNScorer,
                                                      layer_specs_from_config)
