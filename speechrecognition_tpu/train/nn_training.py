@@ -355,6 +355,7 @@ class NnTrainer:
 
         lr = self.learning_rate
         prev_cv = 0.0
+        best_cv, best_params = None, None
         for epoch in range(self.start_epoch, self.num_epochs + 1):
             t0 = time.perf_counter()
             self.builder.shuffle()
@@ -391,7 +392,7 @@ class NnTrainer:
             self.log(f"epoch {epoch}: train FER {train_fer:.4f} cv FER {cv_fer:.4f} "
                      f"({elapsed:.1f}s)")
             self.stats_lines.append(f"{train_fer} # {cv_fer} # {elapsed}")
-            if self.method == "newBob":
+            if self.method in ("newBob", "newbob-restore"):
                 if epoch > 1 and prev_cv > 0 and \
                         (prev_cv - cv_fer) / prev_cv * 100 < 0.5:
                     lr /= 2
@@ -404,6 +405,21 @@ class NnTrainer:
                         else:
                             train_step, eval_step = self._make_step()
                 prev_cv = cv_fer
+            if self.method == "newbob-restore":
+                # divergence rescue (framework extension; the reference's
+                # newbob only adjusts the LR, NNTraining.cpp:417-428): on
+                # a serious CV collapse, restore the best epoch's weights
+                # and reset the updater accumulators — checkpoint-based
+                # recovery applied inside one training run (SURVEY §5)
+                if best_cv is None or cv_fer < best_cv:
+                    best_cv, best_params = cv_fer, params
+                elif cv_fer > best_cv + 0.02:
+                    self.log(f"newbob-restore: cv FER {cv_fer:.4f} "
+                             f"collapsed vs best {best_cv:.4f} — restoring "
+                             f"best weights, resetting updater state")
+                    params = best_params
+                    opt_state = self.updater.init_state(params)
+                    prev_cv = best_cv
         if self.stats_path:
             os.makedirs(os.path.dirname(self.stats_path) or ".", exist_ok=True)
             with open(self.stats_path, "w") as f:
