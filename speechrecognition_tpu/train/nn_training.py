@@ -229,6 +229,26 @@ def gather_batch(flat, align, base, lens, T: int, context: int,
     return feats, targets, frame_mask
 
 
+
+
+def _finite_guard(new_params, new_state, params, opt_state):
+    """Skip a poisoned update: if ANY updated parameter is non-finite
+    (inf/NaN loss from a blown-up batch), keep the previous parameters
+    and updater state. One toxic batch otherwise NaN-poisons the whole
+    run irrecoverably (observed with tanh+AdaDelta at full-corpus scale;
+    the reference has no equivalent guard and would die the same way —
+    this is a framework robustness extension, not a semantics change:
+    finite updates are bit-identical)."""
+    import jax
+    import jax.numpy as jnp
+
+    leaves = jax.tree_util.tree_leaves(new_params)
+    good = jnp.stack([jnp.isfinite(l).all() for l in leaves]).all()
+    sel = lambda n, o: jnp.where(good, n, o)
+    return (jax.tree_util.tree_map(sel, new_params, params),
+            jax.tree_util.tree_map(sel, new_state, opt_state), good)
+
+
 class NnTrainer:
     def __init__(self, config: Configuration, builder: MiniBatchBuilder,
                  mlp: MLP, log=print):
@@ -273,6 +293,8 @@ class NnTrainer:
             ref = jnp.argmax(targets, axis=-1)
             errors = ((hyp != ref) * frame_mask).sum()
             new_params, new_state = updater.update(params, grads, opt_state)
+            new_params, new_state, _good = _finite_guard(
+                new_params, new_state, params, opt_state)
             return new_params, new_state, loss, errors, frame_mask.sum()
 
         @jax.jit
@@ -311,6 +333,8 @@ class NnTrainer:
             ref = jnp.argmax(targets, axis=-1)
             errors = ((hyp != ref) * frame_mask).sum()
             new_params, new_state = updater.update(params, grads, opt_state)
+            new_params, new_state, _good = _finite_guard(
+                new_params, new_state, params, opt_state)
             return new_params, new_state, loss, errors, frame_mask.sum()
 
         @partial(jax.jit, static_argnames=("T",))
