@@ -587,7 +587,13 @@ class Recognizer:
         t0 = time.perf_counter()
         order = np.argsort(corpus.lengths[:n], kind="stable")
         last_batch = 0.0
-        for i in range(0, n, batch_size):
+        # batches stay length-sorted internally (tight padding), but are
+        # VISITED in golden-ratio-strided order so a deadline-truncated
+        # prefix samples all utterance lengths ~uniformly instead of only
+        # the shortest ones
+        starts = list(range(0, n, batch_size))
+        starts.sort(key=lambda s: ((s // batch_size) * 0.6180339887498949) % 1.0)
+        for i in starts:
             if deadline_s is not None:
                 elapsed = time.perf_counter() - t0
                 if elapsed + 1.2 * last_batch > deadline_s and hyps:
