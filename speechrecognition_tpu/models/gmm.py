@@ -948,9 +948,11 @@ def em_pass_sorted(pack, frames: jnp.ndarray, mask: jnp.ndarray,
     frames f32 [NB, BLOCK, dim] (rows gathered in sorted order, padding
     rows arbitrary), mask f32 [NB, BLOCK], block_state int32 [NB].
     Returns (score_total f64, w [S,D], xs [S,D,dim], x2s [S,D,dim]) —
-    the same statistics as em_accumulate_corpus/em_am_score_corpus (f64
-    sums of f32-derived values are exact, hence order-independent) and
-    the same per-frame decisions (identical df op order per density).
+    the same statistics as em_accumulate_corpus/em_am_score_corpus
+    (agreeing to ~1e-13 relative: the f64 accumulation of exact f32
+    products still rounds, so the sorted-block order can differ from the
+    chunked order in the last bits) and the same per-frame decisions
+    (identical df op order per density).
     """
     is_df = isinstance(pack, ScorePackDF)
     S, D, dim = pack.num_mixtures, pack.density_cap, pack.dim

@@ -358,8 +358,20 @@ def _pack_traceback(words: jnp.ndarray, bkps: jnp.ndarray) -> jnp.ndarray:
     """Pack (word, backpointer) per frame into ONE int32 for the
     device→host fetch: the tunnel round trips, not bytes, dominate the
     transfer cost, so ship one compact array per chunk instead of two.
-    words < 2^15 (12 here); bkps (frame indices) < 2^16."""
+    words < 2^15 (12 here); bkps (frame indices) < 2^16 — enforced by
+    _check_pack_bounds at the decode entry points."""
     return (words.astype(jnp.int32) << 16) | bkps.astype(jnp.int32)
+
+
+def _check_pack_bounds(T: int, num_words: int) -> None:
+    """The packed int32 traceback holds word<<16|frame: reject inputs that
+    would silently corrupt transcripts instead of wrapping."""
+    if T > 0xFFFF:
+        raise ValueError(f"utterance too long for packed traceback: "
+                         f"{T} frames > 65535 (chunk the input)")
+    if num_words >= 1 << 15:
+        raise ValueError(f"vocabulary too large for packed traceback: "
+                         f"{num_words} words >= 32768")
 
 
 def _unpack_traceback(chunks: List) -> Tuple[np.ndarray, np.ndarray]:
@@ -402,6 +414,7 @@ def decode_batch(pack: gmm_mod.ScorePack, feats: np.ndarray, feat_len: np.ndarra
     compiles punish, not FLOPs.
     """
     B, T, dim = feats.shape
+    _check_pack_bounds(T, tables.state_table.shape[0])
     n_chunks = -(-T // chunk)
     Tp = n_chunks * chunk
     precomputed = am is not None
@@ -457,6 +470,7 @@ def decode_batch_df(packdf, feats: np.ndarray, feat_len: np.ndarray,
     from ..ops import doublefloat as dfm
 
     B, T, dim = feats.shape
+    _check_pack_bounds(T, tables.state_table.shape[0])
     n_chunks = -(-T // chunk)
     Tp = n_chunks * chunk
     if T < Tp:
@@ -587,6 +601,7 @@ class Recognizer:
         t0 = time.perf_counter()
         order = np.argsort(corpus.lengths[:n], kind="stable")
         last_batch = 0.0
+        batch_stats: list = []  # (seconds, audio seconds) per decoded batch
         # batches stay length-sorted internally (tight padding), but are
         # VISITED in golden-ratio-strided order so a deadline-truncated
         # prefix samples all utterance lengths ~uniformly instead of only
@@ -616,6 +631,10 @@ class Recognizer:
             for b, s in enumerate(ids[:n_real]):
                 hyps[s] = results[b]
             last_batch = time.perf_counter() - tb
+            batch_stats.append(
+                (last_batch,
+                 float(corpus.lengths[ids[:n_real]].sum())
+                 * corpus.frame_duration))
         elapsed = time.perf_counter() - t0
 
         decoded = sorted(hyps)
@@ -628,6 +647,13 @@ class Recognizer:
 
         audio_seconds = float(
             corpus.lengths[decoded].sum()) * corpus.frame_duration
+        # steady-state RTF: the wall-clock RTF absorbs transient tunnel /
+        # host stalls that hit individual batches (observed ~2× variance
+        # across runs, ROADMAP); the median per-batch rate filters them
+        # and estimates the unstalled throughput of the same program
+        rates = sorted(a / t for t, a in batch_stats if t > 0 and a > 0)
+        rtf_steady = (1.0 / rates[len(rates) // 2] if rates
+                      else elapsed / max(audio_seconds, 1e-9))
         return {
             "coverage": len(decoded) / n,
             "num_decoded": len(decoded),
@@ -638,6 +664,7 @@ class Recognizer:
             "deletions": acc.delete_count,
             "time": elapsed,
             "rtf": elapsed / audio_seconds,
+            "rtf_steady": rtf_steady,
             "audio_seconds": audio_seconds,
             "hyps": hyps,
         }

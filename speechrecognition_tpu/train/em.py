@@ -184,8 +184,25 @@ class Trainer:
         returns (per-frame score, stats)."""
         from ..models.gmm import em_pass_sorted
 
-        frames, mask, bs = self._sorted_corpus(corpus, alignment)
         pack = self._pack()
+        if not (first_pass or self.max_approx):
+            # Sum-mode EM (CLI max-approx=false): soft logsumexp membership
+            # over the aligned mixture's densities (Mixtures.cpp:307-330).
+            # The state-sorted pass covers hard membership only, so run the
+            # unsorted chunked kernels — still one device dispatch each
+            # over the resident corpus.
+            if self.dtype == "df32":
+                raise NotImplementedError(
+                    "sum-mode EM (max-approx=false) needs dtype f32/f64; "
+                    "the df32 path covers max-approx only")
+            feats, mask = self._device_corpus(corpus)
+            st = self._states_chunks(alignment)
+            total = em_am_score_corpus(pack, feats, st, mask)
+            w, xs, x2s = em_accumulate_corpus(pack, feats, st, mask,
+                                              first_pass=False)
+            return float(total) / corpus.total_frames, (w, xs, x2s)
+
+        frames, mask, bs = self._sorted_corpus(corpus, alignment)
         total, w, xs, x2s = em_pass_sorted(pack, frames, mask, bs,
                                            first_pass=first_pass)
         return float(total) / corpus.total_frames, (w, xs, x2s)
