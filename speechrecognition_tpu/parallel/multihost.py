@@ -160,20 +160,8 @@ def scaling_rows(decode_fn: Callable[[int], dict],
     return out
 
 
-def _worker_main(argv=None) -> int:
-    """Multi-host demo-corpus decode worker (tests/test_multihost.py
-    drives two of these over localhost): initialize jax.distributed from
-    the environment, decode this host's stripe, gather, write results."""
-    import argparse
-    import json
-
-    ap = argparse.ArgumentParser()
-    ap.add_argument("--out", required=True)
-    ap.add_argument("--fixtures", required=True)
-    args = ap.parse_args(argv)
-
-    dist = initialize()
-    import jax
+def _decode_stripe(fixtures: str) -> dict:
+    """Decode this host's demo-corpus stripe with the fixture model."""
     import jax.numpy as jnp
 
     from ..config import Configuration
@@ -189,11 +177,10 @@ def _worker_main(argv=None) -> int:
     desc = CorpusDescription.read(
         "/root/reference/src/sietill/corpora/demo_corpus.json", lex)
     corpus = Corpus.read(
-        desc, os.path.join(args.fixtures, "demo_features/"),
+        desc, os.path.join(fixtures, "demo_features/"),
         SignalAnalysisConfig(),
-        normalization_path=os.path.join(args.fixtures,
-                                        "normalization-demo.bin"))
-    raw = read_mixture_set(os.path.join(args.fixtures, "iter-2.mix"), 25)
+        normalization_path=os.path.join(fixtures, "normalization-demo.bin"))
+    raw = read_mixture_set(os.path.join(fixtures, "iter-2.mix"), 25)
     model = MixtureModel.from_raw(raw, VarianceModel.MIXTURE_POOLING,
                                   max_approx=True)
     tdp = TdpModel(silence_state=lex.silence_state, loop=3.0, forward=0.0,
@@ -203,9 +190,71 @@ def _worker_main(argv=None) -> int:
                             "max-recognition-runs": 10 ** 9})
     rec = Recognizer(config, lex, tdp, model.pack(dtype=jnp.float64),
                      dtype=jnp.float64)
-
     ids = host_shard(corpus.num_segments)
-    stats = decode_host_shard(rec, corpus, ids, batch_size=32)
+    return decode_host_shard(rec, corpus, ids, batch_size=32)
+
+
+def _score_golden_stripe(golden_path: str) -> dict:
+    """This host's stats row from precomputed hypotheses (no decode):
+    the cross-process machinery — jax.distributed init, striping,
+    allgather, combination — runs for real; only the device compute is
+    substituted."""
+    import json
+
+    from ..search.edit_distance import EDAccumulator, edit_distance
+
+    with open(golden_path) as f:
+        golden = json.load(f)
+    utts = golden["utts"]
+    ids = host_shard(len(utts))
+    acc = EDAccumulator()
+    n_words = 0
+    sent_err = 0
+    for i in ids:
+        ed = edit_distance(utts[i]["ref"], utts[i]["hyp"])
+        acc += ed
+        n_words += len(utts[i]["ref"])
+        if ed.total_count > 0:
+            sent_err += 1
+    return {
+        "segments": len(ids),
+        "errors": acc.total_count,
+        "substitutions": acc.substitute_count,
+        "insertions": acc.insert_count,
+        "deletions": acc.delete_count,
+        "sentence_errors": sent_err,
+        "n_words": n_words,
+        "audio_seconds": 1.0,
+        "decode_seconds": 1.0,
+        "hyps": {},
+    }
+
+
+def _worker_main(argv=None) -> int:
+    """Multi-host demo-corpus decode worker (tests/test_multihost.py
+    drives two of these over localhost): initialize jax.distributed from
+    the environment, decode this host's stripe, gather, write results."""
+    import argparse
+    import json
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--out", required=True)
+    ap.add_argument("--fixtures", required=True)
+    ap.add_argument("--golden-hyps", default=None,
+                    help="score precomputed hypotheses from this "
+                         "demo_recognition.json instead of decoding: "
+                         "exercises the distributed init + stripe + "
+                         "allgather machinery without the decoder compile "
+                         "(the fast default-tier test path)")
+    args = ap.parse_args(argv)
+
+    dist = initialize()
+    import jax
+
+    if args.golden_hyps:
+        stats = _score_golden_stripe(args.golden_hyps)
+    else:
+        stats = _decode_stripe(args.fixtures)
     row = np.asarray([stats["errors"], stats["n_words"],
                       stats["sentence_errors"], stats["segments"],
                       stats["audio_seconds"], stats["decode_seconds"]],

@@ -38,9 +38,7 @@ def test_combine_rows():
     assert abs(c["audio_s_per_s"] - 58.0 / 2.5) < 1e-9
 
 
-@pytest.mark.slow
-def test_two_process_decode_matches_golden(tmp_path, fixtures_dir,
-                                           demo_recognition):
+def _run_two_workers(tmp_path, fixtures_dir, extra_args, timeout):
     port = socket.socket()
     port.bind(("localhost", 0))
     port_no = port.getsockname()[1]
@@ -60,15 +58,38 @@ def test_two_process_decode_matches_golden(tmp_path, fixtures_dir,
         })
         procs.append(subprocess.Popen(
             [sys.executable, "-m", "speechrecognition_tpu.parallel.multihost",
-             "--out", out, "--fixtures", str(fixtures_dir)],
+             "--out", out, "--fixtures", str(fixtures_dir)] + extra_args,
             cwd=REPO, env=env,
             stdout=subprocess.PIPE, stderr=subprocess.PIPE))
-    outs = [p.communicate(timeout=900) for p in procs]
+    outs = [p.communicate(timeout=timeout) for p in procs]
     for p, (so, se) in zip(procs, outs):
         assert p.returncode == 0, se.decode()[-2000:]
-
     with open(out) as f:
-        res = json.load(f)
+        return json.load(f)
+
+
+def test_two_process_collectives_match_golden(tmp_path, fixtures_dir,
+                                              demo_recognition):
+    """Default-tier: two real processes over localhost initialize
+    jax.distributed, stripe the golden hypotheses, and the allgathered
+    corpus WER equals the single-process golden numbers exactly — the
+    cross-process machinery can't rot unseen between slow-tier runs."""
+    res = _run_two_workers(
+        tmp_path, fixtures_dir,
+        ["--golden-hyps", str(fixtures_dir / "demo_recognition.json")],
+        timeout=420)
+    assert res["distributed"] is True
+    assert res["num_hosts"] == 2
+    assert res["devices"] == 4 and res["local_devices"] == 2
+    ref = demo_recognition["corpus"]
+    assert abs(res["wer"] - ref["wer"]) < 1e-6
+    assert abs(res["ser"] - ref["ser"]) < 1e-6
+
+
+@pytest.mark.slow
+def test_two_process_decode_matches_golden(tmp_path, fixtures_dir,
+                                           demo_recognition):
+    res = _run_two_workers(tmp_path, fixtures_dir, [], timeout=900)
     assert res["distributed"] is True
     assert res["num_hosts"] == 2
     assert res["devices"] == 4 and res["local_devices"] == 2
