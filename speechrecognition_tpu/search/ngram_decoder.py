@@ -145,15 +145,17 @@ def decode_batch_bigram(pack: gmm_mod.ScorePack, feats: np.ndarray,
                         lm_matrix: np.ndarray, lm_start: np.ndarray,
                         am_threshold: float, silence_idx: int,
                         prune: bool = True, dtype=jnp.float32,
-                        ) -> List[List[int]]:
+                        am=None) -> List[List[int]]:
     """Bigram decode → word sequences (silence removed).
 
     Build `tables` with word_penalty=0 — word costs live in lm_matrix /
-    lm_start (−log p; fold silence exemptions there).
+    lm_start (−log p; fold silence exemptions there). ``am`` may carry
+    precomputed [B, T, S] acoustic scores (pack is then unused).
     """
     B, T, dim = feats.shape
-    flat = jnp.asarray(feats.reshape(B * T, dim))
-    am = gmm_mod.am_scores(pack, flat).reshape(B, T, pack.num_mixtures)
+    if am is None:
+        flat = jnp.asarray(feats.reshape(B * T, dim))
+        am = gmm_mod.am_scores(pack, flat).reshape(B, T, pack.num_mixtures)
     am = am.astype(dtype)
     scores, bkps, preds, _offsets = _decode_scan_bigram(
         am, jnp.asarray(feat_len, jnp.int32),

@@ -65,16 +65,34 @@ def extend_lm(lm: np.ndarray, lm_start: np.ndarray) -> np.ndarray:
                            np.asarray(lm_start, np.float64)[None, :]], axis=0)
 
 
-def build_entry_tables(tables: TreeTables, tdp_model: TdpModel):
+def build_entry_tables(tables: TreeTables, tdp_model):
     """Word-entry tables: entries reach depth-1 nodes (jump 1) and depth-2
     nodes (jump 2).  Both charge the *first* state's emission and
     tdp(first_state, jump) — Recognizer.cpp:135-151 semantics (the
-    expansion scores `am_cache[first_state]` for init_state 0 and 1)."""
+    expansion scores `am_cache[first_state]` for init_state 0 and 1).
+
+    ``tdp_model`` may also be a Sprint TransitionModel (sprint/am.py):
+    entries then charge the entry-m1 forward/skip TDPs regardless of the
+    target state's type (Am/TransitionModel.cc entry handling,
+    Am/TransitionModel.hh:64-76), scaled by the model's tdp scale."""
     N = tables.num_nodes
     entry_state = tables.state.copy()
     d2 = tables.depth == 2
     entry_state[d2] = tables.state[tables.parent[d2]]
     entry_pen = np.full(N, float(BIG))
+    if hasattr(tdp_model, "entry_m1"):  # Sprint TransitionModel
+        scale = getattr(tdp_model, "scale", 1.0)
+
+        def clean(v: float) -> float:
+            return float(BIG) if not np.isfinite(v) else scale * float(v)
+
+        for n in range(N):
+            d = int(tables.depth[n])
+            if d == 1:
+                entry_pen[n] = clean(tdp_model.entry_m1.forward)
+            elif d == 2:
+                entry_pen[n] = clean(tdp_model.entry_m1.skip)
+        return entry_state.astype(np.int32), entry_pen
     for n in range(N):
         d = int(tables.depth[n])
         if d == 1:
@@ -132,7 +150,8 @@ class LookaheadTables:
 
 
 @partial(jax.jit, static_argnames=("prune", "use_lookahead", "state_limit",
-                                   "histogram_bins", "emit_ends"))
+                                   "histogram_bins", "emit_ends",
+                                   "emit_stats", "transparent_silence"))
 def _wcts_scan(am: jnp.ndarray, feat_len: jnp.ndarray,
                state: jnp.ndarray, parent: jnp.ndarray, grand: jnp.ndarray,
                tdp: jnp.ndarray, loop_allowed: jnp.ndarray,
@@ -140,7 +159,8 @@ def _wcts_scan(am: jnp.ndarray, feat_len: jnp.ndarray,
                end_node: jnp.ndarray, lm_ext: jnp.ndarray, la: jnp.ndarray,
                am_threshold: jnp.ndarray, prune: bool = True,
                use_lookahead: bool = False, state_limit: int = 0,
-               histogram_bins: int = 0, emit_ends: bool = False):
+               histogram_bins: int = 0, emit_ends: bool = False,
+               emit_stats: bool = False, transparent_silence: int = -1):
     """am [B, T, S]; lm_ext [C, W] (last context row = sentence start);
     la [C, N] lookahead scores (ignored unless use_lookahead).
     Returns per-frame (book [T,B,W], bkp [T,B,W], pred [T,B,W],
@@ -151,7 +171,19 @@ def _wcts_scan(am: jnp.ndarray, feat_len: jnp.ndarray,
     (predecessor, word, end-frame) hypothesis, i.e. the raw material of a
     search-derived lattice with exact arc scores
     (Lattice/Lattice.hh word boundaries; Flf lattice generation).
-    pred == C−1 marks entries from the virtual start."""
+    pred == C−1 marks entries from the virtual start.
+
+    ``transparent_silence`` >= 0 names the silence word: its word ends
+    then do NOT become a recombination context — a silence ending inside
+    tree copy c re-opens context c, so the LM history passes through
+    silence unchanged (the reference's per-word silence copies,
+    Teaching/LinearSearch.cc:211-436 / the Bliss lexicon's empty
+    syntactic-token silence lemma). lm_ext[:, silence] should then hold
+    only the silence exit cost (no LM score). Two extra per-frame outputs
+    follow everything else: via_sil [T,B,C] (this frame's entries into
+    context c came from a silence end, not the word-c book) and
+    sil_bkp [T,B,C] (that silence's own entry boundary) — consumed by
+    the transparent-silence traceback in decode_batch_wcts."""
     B, T, S = am.shape
     dtype = am.dtype
     C, W = lm_ext.shape
@@ -161,13 +193,16 @@ def _wcts_scan(am: jnp.ndarray, feat_len: jnp.ndarray,
     entry_pen = entry_pen.astype(dtype)
     lm_ext = lm_ext.astype(dtype)
     la = la.astype(dtype)
+    transparent = transparent_silence >= 0
 
     hyp0 = jnp.full((B, C, N), big, dtype)
     bkp0 = jnp.zeros((B, C, N), jnp.int32)
     book0 = jnp.full((B, W), big, dtype)
+    silp0 = jnp.full((B, C), big, dtype)
+    silb0 = jnp.zeros((B, C), jnp.int32)
 
     def step(carry, inputs):
-        hyp, bkp, book_prev = carry
+        hyp, bkp, book_prev, silp, silb = carry
         am_t, t = inputs
 
         # entry scores per context: ended words carry their book; the
@@ -175,6 +210,10 @@ def _wcts_scan(am: jnp.ndarray, feat_len: jnp.ndarray,
         start_col = jnp.where(t == 1, jnp.zeros((B, 1), dtype),
                               jnp.full((B, 1), big, dtype))
         ext = jnp.concatenate([book_prev, start_col], axis=1)   # [B, C]
+        if transparent:
+            # a silence that ended in tree c re-opens context c
+            via_sil = silp < ext
+            ext = jnp.minimum(ext, silp)
 
         # within-tree 0-1-2 recursion (node 0 = root stays at big, so
         # parent/grand gathers from the root contribute nothing here)
@@ -236,9 +275,15 @@ def _wcts_scan(am: jnp.ndarray, feat_len: jnp.ndarray,
         ends = new[:, :, end_node]                       # [B, C, W]
         cand = jnp.where(ends >= big * 0.5, big,
                          ends + lm_ext[None, :, :])      # [B, C, W]
+        ends_bkp = nbkp[:, :, end_node]
+        if transparent:
+            # silence ends stay per-context (they re-open their own
+            # context next frame) and never recombine into a context row
+            sil_new = cand[:, :, transparent_silence]     # [B, C]
+            silb_new = ends_bkp[:, :, transparent_silence]
+            cand = cand.at[:, :, transparent_silence].set(big)
         pred_new = jnp.argmin(cand, axis=1).astype(jnp.int32)
         book_new = jnp.take_along_axis(cand, pred_new[:, None, :], axis=1)[:, 0]
-        ends_bkp = nbkp[:, :, end_node]
         book_bkp = jnp.take_along_axis(ends_bkp, pred_new[:, None, :],
                                        axis=1)[:, 0]
         book_new = jnp.where(book_new >= big * 0.5, big, book_new)
@@ -247,13 +292,33 @@ def _wcts_scan(am: jnp.ndarray, feat_len: jnp.ndarray,
         hyp_out = jnp.where(alive[:, None, None], new, hyp)
         bkp_out = jnp.where(alive[:, None, None], nbkp, bkp)
         book_out = jnp.where(alive[:, None], book_new, book_prev)
+        if transparent:
+            silp_out = jnp.where(alive[:, None], sil_new, silp)
+            silb_out = jnp.where(alive[:, None], silb_new, silb)
+        else:
+            silp_out, silb_out = silp, silb
         outs = (book_new, book_bkp, pred_new, best[:, 0, 0])
         if emit_ends:
             outs = outs + (cand, ends_bkp)
-        return (hyp_out, bkp_out, book_out), outs
+        if emit_stats:
+            # post-pruning search-space occupancy, the reference's
+            # statistics channel ("states before/after pruning", "active
+            # trees" — Search/WordConditionedTreeSearch.cc logStatistics)
+            live = new < big * 0.5                        # [B, C, N]
+            live = live & alive[:, None, None]
+            outs = outs + (live.sum(axis=(1, 2)).astype(jnp.int32),
+                           live.any(axis=2).sum(axis=1).astype(jnp.int32),
+                           (book_new < big * 0.5).sum(axis=1)
+                           .astype(jnp.int32) * alive.astype(jnp.int32))
+        if transparent:
+            # via_sil/silb resolve entry chains (previous frame's silence);
+            # silp_out/silb_out expose this frame's per-context silence
+            # ends for the final-frame "utterance ends in silence" case
+            outs = outs + (via_sil, silb, silp_out, silb_out)
+        return (hyp_out, bkp_out, book_out, silp_out, silb_out), outs
 
     _, outs = jax.lax.scan(
-        step, (hyp0, bkp0, book0),
+        step, (hyp0, bkp0, book0, silp0, silb0),
         (jnp.moveaxis(am, 1, 0), jnp.arange(1, T + 1)))
     return outs
 
@@ -267,7 +332,9 @@ def decode_batch_wcts(pack: gmm_mod.ScorePack, feats: np.ndarray,
                       lookahead: Optional[LookaheadTables] = None,
                       state_limit: int = 0,
                       histogram_bins: int = DEFAULT_BINS,
-                      dtype=jnp.float32, emit_lattice: bool = False):
+                      dtype=jnp.float32, emit_lattice: bool = False,
+                      emit_stats: bool = False,
+                      transparent_silence: bool = False, am=None):
     """Word-conditioned tree decode → word sequences (silence removed).
 
     Build `tables` with word_penalty=0 — all word costs live in
@@ -276,7 +343,21 @@ def decode_batch_wcts(pack: gmm_mod.ScorePack, feats: np.ndarray,
 
     With ``emit_lattice`` returns (hyps, [ContextLattice per utterance]):
     search-derived word lattices holding every surviving (predecessor,
-    word, boundary) hypothesis with exact arc scores."""
+    word, boundary) hypothesis with exact arc scores.
+
+    With ``emit_stats`` returns (hyps, stats): per-frame search-space
+    occupancy {active_states [T,B], active_trees [T,B], word_ends [T,B]}
+    — the reference's statistics channel quantities
+    (Search/WordConditionedTreeSearch.cc logStatistics).
+
+    With ``transparent_silence`` the LM history passes through silence
+    unchanged (the reference's semantics: silence has no syntactic token,
+    LinearSearch keeps per-word silence copies). lm_matrix[:, silence]
+    should then hold only the silence exit cost; a silence that ends in
+    tree copy c re-opens context c, and the final best may end in a
+    silence (checked against the per-context silence books).
+
+    ``am`` may carry precomputed [B, T, S] acoustic scores (pack unused)."""
     B, T, dim = feats.shape
     lm_ext = extend_lm(lm_matrix, lm_start)
     C = lm_ext.shape[0]
@@ -285,8 +366,9 @@ def decode_batch_wcts(pack: gmm_mod.ScorePack, feats: np.ndarray,
         la = lookahead.scores(lm_ext)
     else:
         la = np.zeros((C, tables.num_nodes))
-    flat = jnp.asarray(feats.reshape(B * T, dim))
-    am = gmm_mod.am_scores(pack, flat).reshape(B, T, pack.num_mixtures)
+    if am is None:
+        flat = jnp.asarray(feats.reshape(B * T, dim))
+        am = gmm_mod.am_scores(pack, flat).reshape(B, T, pack.num_mixtures)
     am = am.astype(dtype)
     outs = _wcts_scan(
         am, jnp.asarray(feat_len, jnp.int32),
@@ -298,25 +380,69 @@ def decode_batch_wcts(pack: gmm_mod.ScorePack, feats: np.ndarray,
         jnp.asarray(am_threshold, dtype), prune=prune,
         use_lookahead=lookahead is not None,
         state_limit=state_limit, histogram_bins=histogram_bins,
-        emit_ends=emit_lattice)
+        emit_ends=emit_lattice, emit_stats=emit_stats,
+        transparent_silence=silence_idx if transparent_silence else -1)
     books_np = np.asarray(outs[0])   # [T, B, W]
     bkps_np = np.asarray(outs[1])
     preds_np = np.asarray(outs[2])
+    if transparent_silence:
+        via_np = np.asarray(outs[-4])       # [T, B, C]
+        silb_np = np.asarray(outs[-3])      # [T, B, C]
+        sil_book_np = np.asarray(outs[-2])  # [T, B, C]
+        sil_bkp_np = np.asarray(outs[-1])   # [T, B, C]
+
+    def _skip_silences(b: int, t: int, c: int) -> int:
+        """Walk backwards through a chain of transparent silences ending
+        at boundary frame t in context c; returns the frame where word c
+        (or the virtual start) actually ended."""
+        while t > 0 and via_np[t, b, c]:
+            t = int(silb_np[t, b, c])
+        return t
 
     out: List[List[int]] = []
     for b in range(B):
         t = int(feat_len[b])
-        if t == 0 or books_np[t - 1, b].min() >= BIG * 0.5:
+        if t == 0:
             out.append([])
             continue
-        w = int(np.argmin(books_np[t - 1, b]))
         seq: List[int] = []
+        best_w = float(books_np[t - 1, b].min())
+        if transparent_silence:
+            # the utterance may END in a silence: the per-context silence
+            # books at the final frame compete with the word books
+            best_s = float(sil_book_np[t - 1, b].min())
+            if min(best_w, best_s) >= BIG * 0.5:
+                out.append([])
+                continue
+            if best_s < best_w:
+                c = int(np.argmin(sil_book_np[t - 1, b]))
+                t = _skip_silences(b, int(sil_bkp_np[t - 1, b, c]), c)
+                w = c
+            else:
+                w = int(np.argmin(books_np[t - 1, b]))
+        else:
+            if best_w >= BIG * 0.5:
+                out.append([])
+                continue
+            w = int(np.argmin(books_np[t - 1, b]))
         while t > 0 and w < C - 1:
             if w != silence_idx:
                 seq.append(w)
-            t, w = int(bkps_np[t - 1, b, w]), int(preds_np[t - 1, b, w])
+            t, c = int(bkps_np[t - 1, b, w]), int(preds_np[t - 1, b, w])
+            if transparent_silence:
+                t = _skip_silences(b, t, c)
+            w = c
         seq.reverse()
         out.append(seq)
+    if emit_stats:
+        n_extra = 2 if emit_lattice else 0
+        stats = {
+            "active_states": np.asarray(outs[4 + n_extra]),   # [T, B]
+            "active_trees": np.asarray(outs[5 + n_extra]),    # [T, B]
+            "word_ends": np.asarray(outs[6 + n_extra]),       # [T, B]
+        }
+        if not emit_lattice:
+            return out, stats
     if not emit_lattice:
         return out
 
@@ -328,4 +454,6 @@ def decode_batch_wcts(pack: gmm_mod.ScorePack, feats: np.ndarray,
         books_np[:, b], cands_np[:, b], ebkps_np[:, b], offsets_np[:, b],
         int(feat_len[b]), np.asarray(lm_ext), silence_idx)
         for b in range(B)]
+    if emit_stats:
+        return out, lats, stats
     return out, lats
