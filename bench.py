@@ -232,6 +232,8 @@ def main():
             f"BENCH_TRAIN=1 re-measures a bounded slice)")
     if os.environ.get("BENCH_TRAIN"):
         train_meta.update(_bench_train_slice(log, budget))
+    if os.environ.get("BENCH_AN4"):
+        train_meta.update(_bench_an4(log))
 
     print(json.dumps({
         "metric": "decode_rtf_per_chip",
@@ -288,6 +290,40 @@ def _bench_train_slice(log, budget):
     log(f"BENCH_TRAIN: split-0 took {dt:.1f}s "
         f"(phases: {trainer.phase_seconds})")
     return {"train_split0_s": dt, "train_split0_source": "measured"}
+
+
+def _bench_an4(log):
+    """Live AN4 LVCSR system row (BENCH_AN4=1): the full 130-utterance
+    test corpus through Flow features + CART tying + config TDPs + ARPA
+    LM + WCTS + lookahead at the tuned operating point, with the
+    committed self-trained model (bench/an4/; RESULTS.md records the
+    full operating-point table)."""
+    import sys
+
+    sys.path.insert(0, os.path.join(REPO, "tools"))
+    try:
+        import an4_system as A
+        from speechrecognition_tpu.io import read_mixture_set
+        from speechrecognition_tpu.models.gmm import (MixtureModel,
+                                                      VarianceModel)
+        am_path = os.path.join(REPO, "bench", "an4", "am.mix")
+        if not os.path.exists(am_path):
+            return {}
+        (_cfg, corpus_xml, asm, lex, tm, net, ap_thr, _s) = A.build_system()
+        corpus, word_seqs = A.load_corpus(corpus_xml, lex, net)
+        model = MixtureModel.from_raw(
+            read_mixture_set(am_path, corpus.dim),
+            VarianceModel.GLOBAL_POOLING, max_approx=True)
+        lm, lm_start = A.build_lm_matrices(lex, tm, 6.0, 30.0, 10.0)
+        r = A.decode(model, corpus, word_seqs, lex, tm, lm, lm_start,
+                     ap_thr, True, True, "f32")
+        log(f"AN4: WER {r['wer']:.2f}% SER {r['ser']:.2f}% "
+            f"RTF {r['rtf']:.5f}")
+        return {"an4_wer": r["wer"], "an4_ser": r["ser"],
+                "an4_rtf": r["rtf"]}
+    except Exception as e:  # the AN4 row must not sink the main metric
+        log(f"AN4 row failed: {e!r}")
+        return {}
 
 
 if __name__ == "__main__":

@@ -118,18 +118,21 @@ def train_model(corpus, lex, asm, out_dir, splits):
     return model, train_s
 
 
-def build_lm_matrices(lex, tm, lm_scale):
+def build_lm_matrices(lex, tm, lm_scale, word_exit=None, sil_exit=None):
     """ARPA bigram matrices over the search lexicon with the config's
     scales: lm[v, w] = lm_scale · (−log p(w|v)) + exit TDP of word w
     (exit charged at word end, Am/TransitionModel.cc doExit). Silence is
-    transparent (no LM score, exit 15 only)."""
+    transparent (no LM score, exit only). word_exit/sil_exit override the
+    config's TDP exits (the tuned operating point)."""
     from speechrecognition_tpu.lm.arpa import ArpaLM
 
     arpa = ArpaLM(f"{DATA}/an4.2.20081121.lm")
     W = lex.num_words
     sil = lex.silence_idx
-    word_exit = tm.scale * tm.default.exit
-    sil_exit = tm.scale * tm.silence.exit
+    if word_exit is None:
+        word_exit = tm.scale * tm.default.exit
+    if sil_exit is None:
+        sil_exit = tm.scale * tm.silence.exit
     lm_ids = [arpa.index(lex.orth[w]) if lex.orth[w] in arpa.word2int
               else (arpa.index("<unk>") if "<unk>" in arpa.word2int else None)
               for w in range(W)]
@@ -257,6 +260,12 @@ def main():
         log(f"loaded {mix_path} ({model.num_densities()} densities)")
 
     lm, lm_start = build_lm_matrices(lex, tm, lm_scale)
+    # tuned operating point (lab-course-style sweep over lm-scale × exit
+    # penalties with this self-trained AM; the config's exit=150 assumes
+    # the reference's stronger AM trained on real AN4 training data)
+    TUNED = {"lm_scale": 6.0, "word_exit": 30.0, "sil_exit": 10.0}
+    lm_t, lm_start_t = build_lm_matrices(
+        lex, tm, TUNED["lm_scale"], TUNED["word_exit"], TUNED["sil_exit"])
 
     results = {"train_s": train_s, "dtype": args.dtype,
                "corpus": {"segments": corpus.num_segments,
@@ -267,16 +276,20 @@ def main():
                            "exit": tm.default.exit,
                            "silence_exit": tm.silence.exit},
                    "lm_scale": lm_scale,
-                   "acoustic_pruning": acoustic_pruning},
+                   "acoustic_pruning": acoustic_pruning,
+                   "tuned": TUNED},
                "operating_points": {}}
-    for name, prune, thr, la_on in (
-            ("exact", False, 1e9, False),
-            ("pruned", True, acoustic_pruning, False),
-            ("pruned+lookahead", True, acoustic_pruning, True)):
+    for name, prune, thr, la_on, mats in (
+            ("exact", False, 1e9, False, (lm, lm_start)),
+            ("pruned", True, acoustic_pruning, False, (lm, lm_start)),
+            ("pruned+lookahead", True, acoustic_pruning, True,
+             (lm, lm_start)),
+            ("tuned+lookahead", True, acoustic_pruning, True,
+             (lm_t, lm_start_t))):
         # warm the compile once per shape outside the timed region
-        r = decode(model, corpus, word_seqs, lex, tm, lm, lm_start, thr,
+        r = decode(model, corpus, word_seqs, lex, tm, mats[0], mats[1], thr,
                    prune, la_on, args.dtype)
-        r2 = decode(model, corpus, word_seqs, lex, tm, lm, lm_start, thr,
+        r2 = decode(model, corpus, word_seqs, lex, tm, mats[0], mats[1], thr,
                     prune, la_on, args.dtype)
         r["decode_s"], r["rtf"] = r2["decode_s"], r2["rtf"]
         hyps = r.pop("hyps")
