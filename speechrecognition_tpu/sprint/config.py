@@ -97,6 +97,12 @@ class SprintConfig:
             return self.get(m.group(1), m.group(0))
         return re.sub(r"\$\(([^)]+)\)", sub, value)
 
+    def items(self) -> List[Tuple[str, str]]:
+        """Every declared (full selector, raw value) in file order —
+        used by block-structured consumers (e.g. the Flf network parser)
+        that enumerate `[section.<name>] key = value` families."""
+        return [(sel, value) for sel, _rx, _spec, value in self._rules]
+
     # typed helpers -----------------------------------------------------------
 
     def get_float(self, name: str, default: float = 0.0) -> float:

@@ -144,7 +144,8 @@ def lattice_processor(args: Sequence[str], out=sys.stdout) -> int:
          compose-linear <transcript-file> | oracle-wer <transcript-file> |
          union <out-archive> <in-archive2> [<in-archive3>...] |
          mesh <out-archive> | determinize | minimize |
-         rescore-arpa <arpa-file> [<scale>]
+         rescore-arpa <arpa-file> [<scale>] |
+         mbr-decode [<word-penalty>] | network <config-file>
     Vocab file: one word per line (index = word id). Transcript files:
     "<name>\\t<words...>" per line (words in vocab)."""
     from ..search.flf import (LatticeArchive, cn_decode, compose_linear,
@@ -261,6 +262,25 @@ def lattice_processor(args: Sequence[str], out=sys.stdout) -> int:
             else:
                 err, R = lat.oracle_wer(ref)
                 print(f"{name}\t{err}\t{R}", file=out)
+        return 0
+    if op == "mbr-decode":
+        # minimum-expected-frame-error decoding (Flf/LocalCostDecoder.cc)
+        from ..search.flf_network import local_cost_decode
+        wp = float(args[3]) if len(args) > 3 else 0.0
+        for name in names:
+            lat = arch.read(name)
+            words, risk = local_cost_decode(lat, word_penalty=wp)
+            text = " ".join(vocab[w] for w in words if w != lat.silence)
+            print(f"{name}\trisk={risk:.4f}\t{text}", file=out)
+        return 0
+    if op == "network":
+        # config-driven processor network over the archive (Flf tool
+        # execution model, search/flf_network.py); the config's
+        # archive-reader nodes may reference this archive's path
+        from ..search.flf_network import FlfNetwork
+        from ..sprint.config import SprintConfig
+        net = FlfNetwork.parse(SprintConfig.read(args[3]), vocab)
+        net.run(names, out=out)
         return 0
     print(f"lattice-processor: unknown op {op}", file=sys.stderr)
     return 1

@@ -167,13 +167,26 @@ class EbwTrainer:
         weights_out: List[np.ndarray] = []
         jobs.sort(key=lambda j: j[2] - j[1])
         Bsz = self.cfg.batch_size
+        # fixed position capacity + bucketed span padding: a handful of
+        # (Bsz, T, A) shapes ever compile across the whole run (arbitrary
+        # per-batch maxima caused one XLA compile per batch)
+        A_cap = max(3, max(lex.get_automaton_for_word(w).num_states
+                           for w in range(lex.num_words)))
+        t_buckets = (32, 64, 128, 256, 512)
+
+        def t_bucket(n: int) -> int:
+            for b in t_buckets:
+                if n <= b:
+                    return b
+            return -(-n // t_buckets[-1]) * t_buckets[-1]
+
         for i in range(0, len(jobs), Bsz):
             chunk = jobs[i: i + Bsz]
             n_real = len(chunk)
             while len(chunk) < Bsz:
                 chunk.append(chunk[-1])
             span = [e - st for _s, st, e, _w, _p in chunk]
-            T = -(-max(span) // 16) * 16
+            T = t_bucket(max(span))
             dim = self.model.dim
             feats = np.zeros((Bsz, T, dim), np.float32)
             lens = np.asarray(span, np.int32)
@@ -182,9 +195,7 @@ class EbwTrainer:
                 o = int(corpus.feature_offsets[seg])
                 feats[b, : e - st] = corpus.features[o + st: o + e]
                 automata.append(lex.get_automaton_for_word(w))
-            # pad positions to ≥3 so the 0-1-2 scan shapes stay valid even
-            # for 1-state (silence) automata
-            A = max(3, max(a.num_states for a in automata))
+            A = A_cap
             tables = AlignerTables.build(automata, self.tdp, pad_to=A)
             st_tbl, _costs = align_batch(pack, feats, lens, tables,
                                          pruning_threshold=None,

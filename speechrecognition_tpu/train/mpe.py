@@ -185,8 +185,12 @@ class MpeTrainer(EbwTrainer):
         den = self.arc_statistics(corpus, neg_jobs)
         return num, den, total_acc
 
-    def iterate(self, corpus: Corpus, alignment: np.ndarray) -> dict:
-        """One MPE iteration; returns expected-accuracy diagnostics."""
+    def iterate(self, corpus: Corpus, alignment: np.ndarray,
+                compute_after: bool = True) -> dict:
+        """One MPE iteration; returns expected-accuracy diagnostics.
+        ``compute_after=False`` skips the post-update lattice pass (a
+        multi-iteration run reads iteration k's after-accuracy as
+        iteration k+1's before-accuracy instead of decoding twice)."""
         lats = self.decode_lattices(corpus)
         num, den, acc_before = self.mpe_statistics(corpus, alignment, lats)
         # I-smoothing toward the ML statistics (the reference smooths the
@@ -206,17 +210,18 @@ class MpeTrainer(EbwTrainer):
             self.ebw_update(num, den)
         finally:
             self.cfg.i_smoothing_tau = tau_saved
-        lats_after = self.decode_lattices(corpus)
-        acc_after = 0.0
-        for s, lat in enumerate(lats_after):
-            o = int(corpus.feature_offsets[s])
-            L = int(corpus.lengths[s])
-            refs = reference_intervals(alignment[o:o + L], self.lexicon)
-            acc = {a: approximate_word_accuracy(a, refs,
-                                                self.lexicon.silence_idx)
-                   for a in lat.arcs}
-            _, c_avg = mpe_arc_gammas(lat, acc)
-            acc_after += c_avg
+        acc_after = float("nan")
+        if compute_after:
+            lats_after = self.decode_lattices(corpus)
+            acc_after = 0.0
+            for s, lat in enumerate(lats_after):
+                o = int(corpus.feature_offsets[s])
+                L = int(corpus.lengths[s])
+                refs = reference_intervals(alignment[o:o + L], self.lexicon)
+                acc = {a: approximate_word_accuracy(
+                    a, refs, self.lexicon.silence_idx) for a in lat.arcs}
+                _, c_avg = mpe_arc_gammas(lat, acc)
+                acc_after += c_avg
         return {"expected_accuracy_before": acc_before,
                 "expected_accuracy_after": acc_after,
                 "num_mass": float(num[0].sum()),
