@@ -50,6 +50,11 @@ def main():
     ap.add_argument("--batch", type=int, default=256)
     ap.add_argument("--posterior-threshold", type=float, default=5.0)
     ap.add_argument("--skip-test-decode", action="store_true")
+    ap.add_argument("--init-model", default=None,
+                    help="resume from a saved mpe-<k>.mix instead of the "
+                         "ML model (alignment stays the ML alignment, as "
+                         "the reference keeps the numerator fixed)")
+    ap.add_argument("--start-iter", type=int, default=0)
     args = ap.parse_args()
     os.makedirs(args.out, exist_ok=True)
 
@@ -115,6 +120,14 @@ def main():
     log(f"forced alignment: {time.perf_counter() - t0:.1f}s "
         f"(silence {100.0 * (alignment == lex.silence_state).mean():.1f}%)")
 
+    if args.init_model:
+        model = MixtureModel.from_raw(
+            read_mixture_set(args.init_model, 25),
+            VarianceModel.from_string(meta.get("pooling", "none")),
+            max_approx=True)
+        log(f"resumed model from {args.init_model} "
+            f"({model.num_densities()} densities)")
+
     cfg = EbwConfig(e_constant=args.e, i_smoothing_tau=args.tau,
                     posterior_threshold=args.posterior_threshold,
                     word_penalty=float(meta.get("word_penalty", 80.0)),
@@ -146,19 +159,26 @@ def main():
                 "sid": [res["substitutions"], res["insertions"],
                         res["deletions"]]}
 
-    results = {"segments": corpus.num_segments,
-               "config": {"E": args.e, "tau": args.tau,
-                          "posterior_threshold": args.posterior_threshold},
-               "baseline_test": {"wer": 4.501682},
-               "align_silence_pct":
-                   float(100.0 * (alignment == lex.silence_state).mean()),
-               "iterations": []}
-    for it in range(args.iters):
+    results_path = os.path.join(args.out, "results.json")
+    if args.start_iter > 0 and os.path.exists(results_path):
+        with open(results_path) as f:
+            results = json.load(f)
+    else:
+        results = {"segments": corpus.num_segments,
+                   "config": {"E": args.e, "tau": args.tau,
+                              "posterior_threshold":
+                                  args.posterior_threshold},
+                   "baseline_test": {"wer": 4.501682},
+                   "align_silence_pct":
+                       float(100.0 * (alignment == lex.silence_state).mean()),
+                   "iterations": []}
+    for it in range(args.start_iter, args.start_iter + args.iters):
         t0 = time.perf_counter()
         # acc_after is only decoded on the LAST iteration (iteration k's
         # after == iteration k+1's before otherwise)
-        diag = trainer.iterate(corpus, alignment,
-                               compute_after=(it == args.iters - 1))
+        diag = trainer.iterate(
+            corpus, alignment,
+            compute_after=(it == args.start_iter + args.iters - 1))
         dt = time.perf_counter() - t0
         n_seg = corpus.num_segments
         row = {"iteration": it + 1, "seconds": dt,
@@ -175,7 +195,7 @@ def main():
         results["iterations"].append(row)
         write_mixture_set(os.path.join(args.out, f"mpe-{it + 1}.mix"),
                           model.to_raw())
-        with open(os.path.join(args.out, "results.json"), "w") as f:
+        with open(results_path, "w") as f:
             json.dump(results, f, indent=1)
     log("done")
 
