@@ -244,6 +244,59 @@ class MixtureModel:
                 global_mean /= total_observations
                 self._calculate_variance(0, global_mean)
 
+    def sync_accumulators_to_parameters(self) -> None:
+        """Rewrite the sufficient-statistic accumulators so finalize()
+        reproduces the CURRENT parameters exactly.
+
+        The .mix checkpoint stores ACCUMULATORS only and re-finalizes on
+        load (Mixtures.cpp:748-830 / from_raw) — so any direct parameter
+        update (EBW/MPE M-steps, adaptation) would silently revert on a
+        save/load round trip unless the accumulators are re-derived:
+        means·weights back into mean_acc, E[X²]-form variances back into
+        var_acc, per-mixture mass preserved."""
+        with np.errstate(divide="ignore", invalid="ignore"):
+            for m in range(self.num_mixtures):
+                total_mix = sum(self.mean_weight_acc[mi]
+                                for (mi, _vi) in self.mixtures[m])
+                if not np.isfinite(total_mix) or total_mix <= 0:
+                    continue
+                for (mi, vi) in self.mixtures[m]:
+                    if not (np.all(np.isfinite(self.means[mi]))
+                            and np.isfinite(self.mean_weights[mi])):
+                        continue
+                    self.mean_weight_acc[mi] = (self.mean_weights[mi]
+                                                * total_mix)
+                    self.mean_acc[mi] = (self.means[mi]
+                                         * self.mean_weight_acc[mi])
+                    if self.var_model == VarianceModel.NO_POOLING:
+                        self.var_weight_acc[vi] = self.mean_weight_acc[mi]
+                        self.var_acc[vi] = ((self.vars[vi]
+                                             + self.means[mi] ** 2)
+                                            * self.var_weight_acc[vi])
+                if (self.var_model == VarianceModel.MIXTURE_POOLING
+                        and self.mixtures[m]):
+                    vi0 = self.mixtures[m][0][1]
+                    mixture_mean = np.zeros(self.dim)
+                    for (mi, _v) in self.mixtures[m]:
+                        mixture_mean += self.mean_acc[mi]
+                    mixture_mean /= total_mix
+                    self.var_weight_acc[vi0] = total_mix
+                    self.var_acc[vi0] = ((self.vars[vi0]
+                                          + mixture_mean ** 2) * total_mix)
+            if self.var_model == VarianceModel.GLOBAL_POOLING:
+                total_obs = 0.0
+                global_mean = np.zeros(self.dim)
+                for m in range(self.num_mixtures):
+                    for (mi, _v) in self.mixtures[m]:
+                        if np.isfinite(self.mean_weight_acc[mi]):
+                            total_obs += self.mean_weight_acc[mi]
+                            global_mean += self.mean_acc[mi]
+                if total_obs > 0:
+                    global_mean /= total_obs
+                    self.var_weight_acc[0] = total_obs
+                    self.var_acc[0] = ((self.vars[0] + global_mean ** 2)
+                                       * total_obs)
+
     def split(self, min_obs: float) -> None:
         """Split densities with enough mass, μ ± √σ² (Mixtures.cpp:465-543).
         Iterates densities in reverse, appends the new density at the end."""

@@ -470,6 +470,93 @@ def n_rescale(ins, attrs, ctx):
                        silence=lat.silence)
 
 
+def n_concatenate(ins, attrs, ctx):
+    """concatenate-lattices: input 1's lattice appended after input 0's
+    in time (Flf/Concatenate.cc)."""
+    a: WordLattice = _require(ins, 0)
+    b: WordLattice = _require(ins, 1)
+    off = a.num_frames
+    arcs = list(a.arcs) + [Arc(start=x.start + off, end=x.end + off,
+                               word=x.word, score=x.score) for x in b.arcs]
+    return WordLattice(num_frames=a.num_frames + b.num_frames, arcs=arcs,
+                       silence=a.silence)
+
+
+def n_map_labels(ins, attrs, ctx):
+    """map-labels: rewrite word ids via a `from:to from:to ...` map
+    (Flf/Map.cc label mapping)."""
+    lat: WordLattice = _require(ins)
+    mapping = {}
+    for pair in attrs.get("map", "").split():
+        f, t = pair.split(":")
+        mapping[int(f)] = int(t)
+    arcs = [Arc(start=a.start, end=a.end, word=mapping.get(a.word, a.word),
+                score=a.score) for a in lat.arcs]
+    return WordLattice(num_frames=lat.num_frames, arcs=arcs,
+                       silence=lat.silence)
+
+
+def n_filter(ins, attrs, ctx):
+    """filter: drop arcs by score threshold and/or word list
+    (Flf/Filter.cc family)."""
+    lat: WordLattice = _require(ins)
+    max_score = float(attrs.get("max-score", "inf"))
+    drop = {int(w) for w in attrs.get("drop-words", "").split()}
+    arcs = [a for a in lat.arcs
+            if a.score <= max_score and a.word not in drop]
+    return WordLattice(num_frames=lat.num_frames, arcs=arcs,
+                       silence=lat.silence)
+
+
+def n_remove_null_arcs(ins, attrs, ctx):
+    """remove-null-arcs: drop zero-duration arcs (Flf/RemoveNullArcs)."""
+    lat: WordLattice = _require(ins)
+    arcs = [a for a in lat.arcs if a.end > a.start]
+    return WordLattice(num_frames=lat.num_frames, arcs=arcs,
+                       silence=lat.silence)
+
+
+def n_properties(ins, attrs, ctx):
+    """properties/info detail: arc/frame/density statistics line."""
+    lat: WordLattice = _require(ins)
+    words = {a.word for a in lat.arcs}
+    dens = len(lat.arcs) / max(1, lat.num_frames)
+    print(f"{ctx['id']}\tframes={lat.num_frames}\tarcs={len(lat.arcs)}\t"
+          f"words={len(words)}\tarcs/frame={dens:.2f}", file=ctx["out"])
+    return lat
+
+
+def n_dump_traceback(ins, attrs, ctx):
+    """dump-traceback: best path with word boundaries (the reference's
+    traceback channel format)."""
+    lat: WordLattice = _require(ins)
+    net: FlfNetwork = ctx["net"]
+    words, score = lat.best_path()
+    # re-walk for boundaries
+    t = lat.num_frames
+    by_end = lat.by_end()
+    best = {0: 0.0}
+    # simple DP for boundary recovery
+    back: Dict[int, Optional[Arc]] = {}
+    costs = np.full(lat.num_frames + 1, np.inf)
+    costs[0] = 0.0
+    for tt in range(1, lat.num_frames + 1):
+        for a in by_end.get(tt, []):
+            c = costs[a.start] + a.score
+            if c < costs[tt]:
+                costs[tt] = c
+                back[tt] = a
+    rows = []
+    while t > 0 and back.get(t) is not None:
+        a = back[t]
+        rows.append((a.start, a.end, a.word))
+        t = a.start
+    for s, e, w in reversed(rows):
+        print(f"{ctx['id']}\t{s}\t{e}\t{net.vocab[w] if w < len(net.vocab) else w}",
+              file=ctx["out"])
+    return words
+
+
 def n_evaluator(ins, attrs, ctx):
     """Edit-distance evaluation against a transcript table file
     (`<name>\\t<words>` rows — the Flf evaluator node against the Bliss
@@ -528,4 +615,11 @@ NODE_TYPES: Dict[str, Callable] = {
     "minimize": n_minimize,
     "rescale": n_rescale,
     "evaluator": n_evaluator,
+    "concatenate-lattices": n_concatenate,
+    "append": n_concatenate,
+    "map-labels": n_map_labels,
+    "filter": n_filter,
+    "remove-null-arcs": n_remove_null_arcs,
+    "properties": n_properties,
+    "dump-traceback": n_dump_traceback,
 }

@@ -303,6 +303,10 @@ class EbwTrainer:
             for vi, acc in new_vars_num.items():
                 v = np.maximum(acc / new_vars_den[vi], MIN_VARIANCE)
                 self._set_var(vi, v)
+        # make the update durable: .mix checkpoints store accumulators
+        # and re-finalize on load, so the discriminative parameters must
+        # be encoded back into them
+        model.sync_accumulators_to_parameters()
 
     def _set_var(self, vi: int, v: np.ndarray) -> None:
         model = self.model

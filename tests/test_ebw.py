@@ -56,3 +56,37 @@ def test_ebw_iteration_improves_mmi(setup, lexicon, demo_corpus,
                      dtype=jnp.float64)
     res = rec.recognize_corpus(demo_corpus, batch_size=35)
     assert res["wer"] <= demo_recognition["corpus"]["wer"] + 1e-9, res["wer"]
+
+
+def test_ebw_update_survives_mix_round_trip(setup, lexicon, demo_corpus,
+                                            tmp_path):
+    """The .mix format stores ACCUMULATORS and re-finalizes on load —
+    a discriminative update must be encoded back into them
+    (sync_accumulators_to_parameters) or checkpoints silently revert to
+    the ML model (the round-4 MPE resume bug)."""
+    import jax.numpy as jnp
+
+    from speechrecognition_tpu.io import write_mixture_set
+    from speechrecognition_tpu.models import gmm as gmm_mod
+
+    model, tdp, c, align = setup
+    cfg = EbwConfig(e_constant=2.0, i_smoothing_tau=10.0,
+                    word_penalty=c["word_penalty"],
+                    am_threshold=c["am_threshold"], batch_size=35)
+    trainer = EbwTrainer(cfg, lexicon, model, tdp, dtype=jnp.float64)
+    num = trainer.numerator_statistics(demo_corpus, align)
+    lats = trainer.decode_lattices(demo_corpus)
+    den = trainer.denominator_statistics(demo_corpus, lats)
+    trainer.ebw_update(num, den)
+
+    p = str(tmp_path / "ebw.mix")
+    write_mixture_set(p, model.to_raw())
+    reloaded = MixtureModel.from_raw(
+        read_mixture_set(p, 25), model.var_model, max_approx=True)
+
+    feats = demo_corpus.features[:256]
+    a = np.asarray(gmm_mod.am_scores(model.pack(dtype=jnp.float64),
+                                     jnp.asarray(feats)))
+    b = np.asarray(gmm_mod.am_scores(reloaded.pack(dtype=jnp.float64),
+                                     jnp.asarray(feats)))
+    np.testing.assert_allclose(b, a, rtol=1e-10, atol=1e-8)

@@ -186,6 +186,39 @@ def test_network_end_to_end(tmp_path):
     assert "eins zwei" in text and "risk=" in text
 
 
+def test_extra_node_types(tmp_path):
+    """concatenate / map-labels / filter / remove-null-arcs /
+    dump-traceback / properties behave as their Flf counterparts."""
+    import io
+
+    from speechrecognition_tpu.search.flf_network import (
+        n_concatenate, n_dump_traceback, n_filter, n_map_labels,
+        n_properties, n_remove_null_arcs)
+
+    lat = _toy_lattice()
+    cat = n_concatenate({0: lat, 1: lat}, {}, {})
+    assert cat.num_frames == 12 and len(cat.arcs) == 10
+    assert max(a.end for a in cat.arcs) == 12
+
+    mapped = n_map_labels({0: lat}, {"map": "1:3"}, {})
+    assert {a.word for a in mapped.arcs} == {0, 2, 3}
+
+    filt = n_filter({0: lat}, {"max-score": "3.5", "drop-words": "2"}, {})
+    assert all(a.score <= 3.5 and a.word != 2 for a in filt.arcs)
+
+    withnull = WordLattice(num_frames=6,
+                           arcs=lat.arcs + [Arc(2, 2, 1, 0.5)], silence=0)
+    assert len(n_remove_null_arcs({0: withnull}, {}, {}).arcs) == len(lat.arcs)
+
+    net = FlfNetwork({}, VOCAB)
+    out = io.StringIO()
+    ctx = {"id": "seg", "net": net, "out": out}
+    n_properties({0: lat}, {}, ctx)
+    assert "arcs=5" in out.getvalue()
+    n_dump_traceback({0: lat}, {}, ctx)
+    assert "eins" in out.getvalue() and "zwei" in out.getvalue()
+
+
 def test_network_rejects_cycles_and_unknown_links(tmp_path):
     p = tmp_path / "bad.config"
     p.write_text("""
