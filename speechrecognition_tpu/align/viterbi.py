@@ -52,11 +52,13 @@ class AlignerTables:
             states[i, : a.num_states] = a.states
             states[i, a.num_states:] = a.last_state
             lengths[i] = a.num_states
-        if states.max(initial=0) >= 1 << 15:
-            # the aligned-state fetch is int16 (_states_from_positions);
-            # larger inventories would wrap silently
-            raise ValueError(f"state inventory too large for int16 "
-                             f"alignment states: max id {states.max()}")
+        from ..contracts import require
+
+        # the aligned-state fetch is int16 (_states_from_positions);
+        # larger inventories would wrap silently
+        require(states.max(initial=0) < 1 << 15,
+                f"state inventory too large for int16 alignment states: "
+                f"max id {states.max(initial=0)}")
         tdp = tdp_model.table_for_states(states)
         return AlignerTables(states=states, lengths=lengths, tdp=tdp)
 

@@ -366,12 +366,12 @@ def _pack_traceback(words: jnp.ndarray, bkps: jnp.ndarray) -> jnp.ndarray:
 def _check_pack_bounds(T: int, num_words: int) -> None:
     """The packed int32 traceback holds word<<16|frame: reject inputs that
     would silently corrupt transcripts instead of wrapping."""
-    if T > 0xFFFF:
-        raise ValueError(f"utterance too long for packed traceback: "
+    from ..contracts import require
+
+    require(T <= 0xFFFF, f"utterance too long for packed traceback: "
                          f"{T} frames > 65535 (chunk the input)")
-    if num_words >= 1 << 15:
-        raise ValueError(f"vocabulary too large for packed traceback: "
-                         f"{num_words} words >= 32768")
+    require(num_words < 1 << 15, f"vocabulary too large for packed "
+                                 f"traceback: {num_words} words >= 32768")
 
 
 def _unpack_traceback(chunks: List) -> Tuple[np.ndarray, np.ndarray]:

@@ -117,10 +117,14 @@ class OnlineRecognizer:
 
     def feed(self, frames: np.ndarray) -> None:
         """Append [B, T_any, dim] feature frames; commits full chunks."""
+        from ..contracts import require
+
         frames = np.asarray(frames, np.float32)
         if frames.ndim == 2:
             frames = frames[None]
-        assert frames.shape[0] == self.num_streams
+        require(frames.shape[0] == self.num_streams,
+                f"feed expects {self.num_streams} streams, "
+                f"got {frames.shape[0]}")
         _check_pack_bounds(self._t_committed + self._buffered
                            + frames.shape[1], self._W)
         self._buffer.append(frames)
