@@ -252,9 +252,11 @@ def main():
 def _bench_train_slice(log, budget):
     """Bounded live re-measurement of EM training (BENCH_TRAIN=1): the
     full recipe's split-0 phase (linear segmentation + first accumulate +
-    1 realign + 1 estimate) over the full 13,036-utterance train corpus,
-    df32 — measured here, unlike the recorded full-run number (which the
-    committed bench/train_fast/train.log backs)."""
+    2 realigns with one estimate each — num-aligns=2 as in the recorded
+    recipe; split 0 caps num-estimates at 1) over the full
+    13,036-utterance train corpus, df32 — measured here, unlike the
+    recorded full-run number (which the committed
+    bench/train_fast/train.log backs)."""
     import time as _time
     from speechrecognition_tpu.corpus import Corpus, CorpusDescription
     from speechrecognition_tpu.features.frontend import SignalAnalysisConfig

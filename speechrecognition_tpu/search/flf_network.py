@@ -235,20 +235,24 @@ class FlfNetwork:
         self.silence = silence
         self._order = self._topo_order()
         self._archives: Dict[str, LatticeArchive] = {}
+        #: evaluator transcript tables, parsed once per file per network
+        self._refs_cache: Dict[str, Dict[str, List[int]]] = {}
 
     @staticmethod
     def parse(cfg: SprintConfig, vocab: Sequence[str], silence: int = 0,
               prefix: str = "network") -> "FlfNetwork":
-        # discover nodes + attrs from `[<prefix>.<name>] key = value`
+        # discover nodes + attrs from `[<prefix>.<name>] key = value`;
+        # values resolve through cfg.get so $(var) references work like
+        # everywhere else in the config system
         attrs_of: Dict[str, Dict[str, str]] = {}
-        for sel, value in cfg.items():
+        for sel, _raw in cfg.items():
             if not sel.startswith(prefix + "."):
                 continue
             rest = sel[len(prefix) + 1:]
             if "." not in rest:
                 continue        # network-level param (initial-nodes, …)
             name, attr = rest.split(".", 1)
-            attrs_of.setdefault(name, {})[attr] = value
+            attrs_of.setdefault(name, {})[attr] = cfg.get(sel)
         for n in (cfg.get(f"{prefix}.initial-nodes", "") or "").split():
             attrs_of.setdefault(n, {})
         nodes: Dict[str, FlfNode] = {}
@@ -323,6 +327,17 @@ def _require(ins, port=0):
     return v
 
 
+def _as_lattice(v) -> WordLattice:
+    """Unwrap a (lattice, posteriors) pair from FB-builder /
+    add-word-confidence: every lattice-consuming node accepts either a
+    bare lattice or the annotated pair, so posterior-producing nodes can
+    link anywhere (the reference's nodes pass lattices with attached
+    score fields the same way)."""
+    if isinstance(v, tuple):
+        return v[0]
+    return v
+
+
 def n_archive_reader(ins, attrs, ctx):
     net: FlfNetwork = ctx["net"]
     arch = net._archive(attrs["path"],
@@ -332,7 +347,7 @@ def n_archive_reader(ins, attrs, ctx):
 
 def n_archive_writer(ins, attrs, ctx):
     net: FlfNetwork = ctx["net"]
-    net._archive(attrs["path"]).write(ctx["id"], _require(ins))
+    net._archive(attrs["path"]).write(ctx["id"], _as_lattice(_require(ins)))
     return None
 
 
@@ -345,14 +360,14 @@ def n_sink(ins, attrs, ctx):
 
 
 def n_info(ins, attrs, ctx):
-    lat: WordLattice = _require(ins)
+    lat: WordLattice = _as_lattice(_require(ins))
     print(f"{ctx['id']}\tframes={lat.num_frames}\tarcs={len(lat.arcs)}",
           file=ctx["out"])
     return lat
 
 
 def n_best(ins, attrs, ctx):
-    lat: WordLattice = _require(ins)
+    lat: WordLattice = _as_lattice(_require(ins))
     net: FlfNetwork = ctx["net"]
     words, score = lat.best_path()
     text = " ".join(net.vocab[w] for w in words if w != lat.silence)
@@ -361,7 +376,7 @@ def n_best(ins, attrs, ctx):
 
 
 def n_dump_n_best(ins, attrs, ctx):
-    lat: WordLattice = _require(ins)
+    lat: WordLattice = _as_lattice(_require(ins))
     net: FlfNetwork = ctx["net"]
     n = int(attrs.get("n", "5"))
     rows = lat.n_best(n)
@@ -372,14 +387,14 @@ def n_dump_n_best(ins, attrs, ctx):
 
 
 def n_prune_posterior(ins, attrs, ctx):
-    lat: WordLattice = _require(ins)
+    lat: WordLattice = _as_lattice(_require(ins))
     return lat.posterior_prune(float(attrs.get("threshold", "5")))
 
 
 def n_fb_builder(ins, attrs, ctx):
     """FB-builder: annotate the lattice with forward/backward posteriors
     (carried alongside as (lat, posteriors))."""
-    lat: WordLattice = _require(ins)
+    lat: WordLattice = _as_lattice(_require(ins))
     return (lat, fwdbwd_posteriors(lat))
 
 
@@ -441,28 +456,28 @@ def n_cn_decoder(ins, attrs, ctx):
 
 
 def n_mesh(ins, attrs, ctx):
-    return mesh_lattice(_require(ins))
+    return mesh_lattice(_as_lattice(_require(ins)))
 
 
 def n_clean_up(ins, attrs, ctx):
-    return trim_lattice(_require(ins))
+    return trim_lattice(_as_lattice(_require(ins)))
 
 
 def n_unite(ins, attrs, ctx):
-    lats = [v for p, v in sorted(ins.items()) if v is not None]
+    lats = [_as_lattice(v) for p, v in sorted(ins.items()) if v is not None]
     return union_lattices(lats)
 
 
 def n_determinize(ins, attrs, ctx):
-    return determinize_lattice(_require(ins))
+    return determinize_lattice(_as_lattice(_require(ins)))
 
 
 def n_minimize(ins, attrs, ctx):
-    return minimize_lattice(_require(ins))
+    return minimize_lattice(_as_lattice(_require(ins)))
 
 
 def n_rescale(ins, attrs, ctx):
-    lat: WordLattice = _require(ins)
+    lat: WordLattice = _as_lattice(_require(ins))
     scale = float(attrs.get("scale", "1"))
     arcs = [Arc(start=a.start, end=a.end, word=a.word, score=a.score * scale)
             for a in lat.arcs]
@@ -473,8 +488,8 @@ def n_rescale(ins, attrs, ctx):
 def n_concatenate(ins, attrs, ctx):
     """concatenate-lattices: input 1's lattice appended after input 0's
     in time (Flf/Concatenate.cc)."""
-    a: WordLattice = _require(ins, 0)
-    b: WordLattice = _require(ins, 1)
+    a: WordLattice = _as_lattice(_require(ins, 0))
+    b: WordLattice = _as_lattice(_require(ins, 1))
     off = a.num_frames
     arcs = list(a.arcs) + [Arc(start=x.start + off, end=x.end + off,
                                word=x.word, score=x.score) for x in b.arcs]
@@ -485,7 +500,7 @@ def n_concatenate(ins, attrs, ctx):
 def n_map_labels(ins, attrs, ctx):
     """map-labels: rewrite word ids via a `from:to from:to ...` map
     (Flf/Map.cc label mapping)."""
-    lat: WordLattice = _require(ins)
+    lat: WordLattice = _as_lattice(_require(ins))
     mapping = {}
     for pair in attrs.get("map", "").split():
         f, t = pair.split(":")
@@ -499,7 +514,7 @@ def n_map_labels(ins, attrs, ctx):
 def n_filter(ins, attrs, ctx):
     """filter: drop arcs by score threshold and/or word list
     (Flf/Filter.cc family)."""
-    lat: WordLattice = _require(ins)
+    lat: WordLattice = _as_lattice(_require(ins))
     max_score = float(attrs.get("max-score", "inf"))
     drop = {int(w) for w in attrs.get("drop-words", "").split()}
     arcs = [a for a in lat.arcs
@@ -510,7 +525,7 @@ def n_filter(ins, attrs, ctx):
 
 def n_remove_null_arcs(ins, attrs, ctx):
     """remove-null-arcs: drop zero-duration arcs (Flf/RemoveNullArcs)."""
-    lat: WordLattice = _require(ins)
+    lat: WordLattice = _as_lattice(_require(ins))
     arcs = [a for a in lat.arcs if a.end > a.start]
     return WordLattice(num_frames=lat.num_frames, arcs=arcs,
                        silence=lat.silence)
@@ -518,7 +533,7 @@ def n_remove_null_arcs(ins, attrs, ctx):
 
 def n_properties(ins, attrs, ctx):
     """properties/info detail: arc/frame/density statistics line."""
-    lat: WordLattice = _require(ins)
+    lat: WordLattice = _as_lattice(_require(ins))
     words = {a.word for a in lat.arcs}
     dens = len(lat.arcs) / max(1, lat.num_frames)
     print(f"{ctx['id']}\tframes={lat.num_frames}\tarcs={len(lat.arcs)}\t"
@@ -528,15 +543,11 @@ def n_properties(ins, attrs, ctx):
 
 def n_dump_traceback(ins, attrs, ctx):
     """dump-traceback: best path with word boundaries (the reference's
-    traceback channel format)."""
-    lat: WordLattice = _require(ins)
+    traceback channel format). One shortest-path DP serves both the
+    words and their boundary frames."""
+    lat: WordLattice = _as_lattice(_require(ins))
     net: FlfNetwork = ctx["net"]
-    words, score = lat.best_path()
-    # re-walk for boundaries
-    t = lat.num_frames
     by_end = lat.by_end()
-    best = {0: 0.0}
-    # simple DP for boundary recovery
     back: Dict[int, Optional[Arc]] = {}
     costs = np.full(lat.num_frames + 1, np.inf)
     costs[0] = 0.0
@@ -547,14 +558,16 @@ def n_dump_traceback(ins, attrs, ctx):
                 costs[tt] = c
                 back[tt] = a
     rows = []
+    t = lat.num_frames
     while t > 0 and back.get(t) is not None:
         a = back[t]
         rows.append((a.start, a.end, a.word))
         t = a.start
     for s, e, w in reversed(rows):
-        print(f"{ctx['id']}\t{s}\t{e}\t{net.vocab[w] if w < len(net.vocab) else w}",
+        print(f"{ctx['id']}\t{s}\t{e}\t"
+              f"{net.vocab[w] if w < len(net.vocab) else w}",
               file=ctx["out"])
-    return words
+    return [w for _s, _e, w in reversed(rows)]
 
 
 def n_evaluator(ins, attrs, ctx):
@@ -568,15 +581,20 @@ def n_evaluator(ins, attrs, ctx):
         hyp = cn_decode(hyp)
     net: FlfNetwork = ctx["net"]
     hyp = [w for w in hyp if w != net.silence]
-    refs = ctx.setdefault("_refs", {})
-    if not refs:
-        with open(attrs["transcripts"]) as f:
+    # transcript table parsed once per file per NETWORK (ctx is
+    # per-segment, so a ctx-level cache would re-read on every segment)
+    path = attrs["transcripts"]
+    refs = net._refs_cache.get(path)
+    if refs is None:
+        refs = {}
+        with open(path) as f:
             for line in f:
                 parts = line.rstrip("\n").split("\t")
                 if len(parts) == 2:
                     refs[parts[0]] = [net.word_idx[w]
                                       for w in parts[1].split()
                                       if w in net.word_idx]
+        net._refs_cache[path] = refs
     ref = refs.get(ctx["id"], [])
     ed = edit_distance(ref, hyp)
     print(f"{ctx['id']}\terrors={ed.total_count}\tref={len(ref)}",

@@ -176,8 +176,10 @@ class OnlineRecognizer:
         lens = np.full(self.num_streams, self._t_committed + self.chunk,
                        np.int64)
         self._carry, packed = self._scan_chunk(feats, lens, self._carry)
-        np.asarray(packed)  # synchronize: latency includes the fetch
-        self._packed.append(packed)
+        # store the HOST copy: each committed chunk crosses the
+        # device→host boundary exactly once (partial()/finish() would
+        # otherwise re-download every chunk per call)
+        self._packed.append(np.asarray(packed))
         self._t_committed += self.chunk
         self.chunk_latencies_s.append(time.perf_counter() - t0)
 
@@ -194,6 +196,9 @@ class OnlineRecognizer:
         committed carry WITHOUT committing it."""
         t0 = time.perf_counter()
         total = self._t_committed + self._buffered
+        if total == 0:      # callable at any point, incl. before feed()
+            self.partial_latencies_s.append(time.perf_counter() - t0)
+            return [[] for _ in range(self.num_streams)]
         if feat_len is None:
             feat_len = np.full(self.num_streams, total, np.int64)
         else:

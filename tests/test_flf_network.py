@@ -219,6 +219,62 @@ def test_extra_node_types(tmp_path):
     assert "eins" in out.getvalue() and "zwei" in out.getvalue()
 
 
+def test_fb_builder_links_to_any_lattice_node(tmp_path):
+    """FB-builder's (lattice, posteriors) output must be consumable by
+    every lattice node (the docstring's own `FB-builder links = best`
+    topology crashed before round 4's review fix)."""
+    import io
+
+    arch_dir = tmp_path / "lats"
+    arch = LatticeArchive(str(arch_dir), VOCAB)
+    arch.write("seg-1", _toy_lattice())
+    p = tmp_path / "net.config"
+    p.write_text(f"""
+[network.reader]
+type = archive-reader
+path = {arch_dir}
+links = fb
+[network.fb]
+type = FB-builder
+links = best info prune
+[network.best]
+type = best
+[network.info]
+type = info
+[network.prune]
+type = prune-posterior
+threshold = 50
+""")
+    net = FlfNetwork.parse(SprintConfig.read(str(p)), VOCAB)
+    out = io.StringIO()
+    r = net.run(["seg-1"], out=out)["seg-1"]
+    assert r["best"] == [1, 2]
+    assert "arcs=5" in out.getvalue()
+    assert len(r["prune"].arcs) == 5
+
+
+def test_network_attrs_resolve_config_variables(tmp_path):
+    """$(var) references in node attributes resolve like everywhere
+    else in the Sprint config system."""
+    arch_dir = tmp_path / "lats"
+    arch = LatticeArchive(str(arch_dir), VOCAB)
+    arch.write("seg-1", _toy_lattice())
+    p = tmp_path / "net.config"
+    p.write_text(f"""
+lattice-dir = {arch_dir}
+[network.reader]
+type = archive-reader
+path = $(lattice-dir)
+links = best
+[network.best]
+type = best
+""")
+    import io
+    net = FlfNetwork.parse(SprintConfig.read(str(p)), VOCAB)
+    r = net.run(["seg-1"], out=io.StringIO())["seg-1"]
+    assert r["best"] == [1, 2]
+
+
 def test_network_rejects_cycles_and_unknown_links(tmp_path):
     p = tmp_path / "bad.config"
     p.write_text("""

@@ -70,6 +70,19 @@ def test_streaming_matches_offline_df32(setup, lexicon):
     assert online.finish(lens) == offline
 
 
+def test_partial_before_any_feed(setup, lexicon):
+    """partial()/finish() are callable at ANY point, including right
+    after construction or restart() (round-4 review fix)."""
+    model, tables, feats, lens = setup
+    pack = model.pack(dtype=jnp.float64)
+    online = OnlineRecognizer(pack, tables, 200.0, lexicon.silence_idx,
+                              dtype=jnp.float64, num_streams=3)
+    assert online.partial() == [[], [], []]
+    assert online.finish() == [[], [], []]
+    online.restart()
+    assert online.partial() == [[], [], []]
+
+
 def test_streaming_restart(setup, lexicon):
     """restart() fully resets: the second utterance pass reproduces the
     first (SearchAlgorithm::restart semantics)."""

@@ -135,15 +135,19 @@ def main():
                     batch_size=args.batch)
     trainer = MpeTrainer(cfg, lex, model, tdp, dtype=jnp.float32)
 
+    test_corpus_cache = []
+
     def test_wer(tag):
         if args.skip_test_decode:
             return None
-        test_desc = CorpusDescription.read(
-            os.path.join(REFERENCE, "src/sietill/corpora/corpus_test.json"),
-            lex)
-        test_corpus = Corpus.read(test_desc, feature_path,
-                                  SignalAnalysisConfig(),
-                                  normalization_path=norm_path)
+        if not test_corpus_cache:   # load the 13k-utterance corpus once
+            test_desc = CorpusDescription.read(
+                os.path.join(REFERENCE,
+                             "src/sietill/corpora/corpus_test.json"), lex)
+            test_corpus_cache.append(Corpus.read(
+                test_desc, feature_path, SignalAnalysisConfig(),
+                normalization_path=norm_path))
+        test_corpus = test_corpus_cache[0]
         config = Configuration({
             "am-threshold": meta.get("am_threshold", 200.0),
             "word-penalty": meta.get("word_penalty", 80.0),
@@ -181,11 +185,19 @@ def main():
             compute_after=(it == args.start_iter + args.iters - 1))
         dt = time.perf_counter() - t0
         n_seg = corpus.num_segments
+
+        def _j(x):
+            """NaN (the skipped after-pass) → null, keeping results.json
+            valid for strict JSON parsers."""
+            import math as _math
+            return None if isinstance(x, float) and _math.isnan(x) else x
+
         row = {"iteration": it + 1, "seconds": dt,
                "expected_accuracy_before": diag["expected_accuracy_before"],
-               "expected_accuracy_after": diag["expected_accuracy_after"],
+               "expected_accuracy_after": _j(diag["expected_accuracy_after"]),
                "per_utt_acc_before": diag["expected_accuracy_before"] / n_seg,
-               "per_utt_acc_after": diag["expected_accuracy_after"] / n_seg,
+               "per_utt_acc_after": _j(diag["expected_accuracy_after"]
+                                       / n_seg),
                "num_mass": diag["num_mass"], "den_mass": diag["den_mass"]}
         log(f"iter {it + 1}: {dt:.1f}s, expected accuracy "
             f"{row['per_utt_acc_before']:.4f} -> {row['per_utt_acc_after']:.4f} "
