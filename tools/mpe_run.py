@@ -199,8 +199,10 @@ def main():
                "per_utt_acc_after": _j(diag["expected_accuracy_after"]
                                        / n_seg),
                "num_mass": diag["num_mass"], "den_mass": diag["den_mass"]}
+        after = (f"{row['per_utt_acc_after']:.4f}"
+                 if row['per_utt_acc_after'] is not None else "(next iter)")
         log(f"iter {it + 1}: {dt:.1f}s, expected accuracy "
-            f"{row['per_utt_acc_before']:.4f} -> {row['per_utt_acc_after']:.4f} "
+            f"{row['per_utt_acc_before']:.4f} -> {after} "
             f"per utt, masses num {diag['num_mass']:.0f} den "
             f"{diag['den_mass']:.0f}")
         row["test"] = test_wer(f"iter{it + 1}")
