@@ -91,10 +91,11 @@ def load_corpus(corpus_xml, lex, net):
                   frame_duration=0.01, dim=feats_list[0].shape[1]), word_seqs
 
 
-def train_model(corpus, lex, asm, out_dir, splits):
+def train_model(corpus, lex, asm, out_dir, splits, train_dtype="f64"):
     """Self-train the CART-tied triphone GMM on the cache features
     (the reference trains with acoustic-model-trainer on AN4 training
-    data, which is not shipped)."""
+    data, which is not shipped). train_dtype df32 runs the production
+    double-float path (reference-f64 decisions, f32 device speed)."""
     import jax.numpy as jnp
 
     from speechrecognition_tpu.io import write_mixture_set
@@ -109,7 +110,8 @@ def train_model(corpus, lex, asm, out_dir, splits):
                    loop=3.0, forward=0.0, skip=3.0)
     cfg = TrainerConfig(min_obs=1, num_splits=splits, num_aligns=2,
                         num_estimates=3, pruning_threshold=300.0)
-    trainer = Trainer(cfg, lex, model, tdp, dtype=jnp.float64, log=log)
+    dtype = "df32" if train_dtype == "df32" else jnp.float64
+    trainer = Trainer(cfg, lex, model, tdp, dtype=dtype, log=log)
     t0 = time.perf_counter()
     trainer.train(corpus)
     train_s = time.perf_counter() - t0
@@ -217,6 +219,7 @@ def main():
                     help="retrain the acoustic model (else load am.mix)")
     ap.add_argument("--out", default=os.path.join(REPO, "bench", "an4"))
     ap.add_argument("--dtype", default="f32", choices=["f32", "f64"])
+    ap.add_argument("--train-dtype", default="f64", choices=["f64", "df32"])
     ap.add_argument("--splits", type=int, default=3)
     ap.add_argument("--platform", default=None,
                     help="cpu|axon — re-asserted against the image's "
@@ -249,7 +252,8 @@ def main():
     mix_path = os.path.join(args.out, "am.mix")
     train_s = None
     if args.train or not os.path.exists(mix_path):
-        model, train_s = train_model(corpus, lex, asm, args.out, args.splits)
+        model, train_s = train_model(corpus, lex, asm, args.out, args.splits,
+                                     train_dtype=args.train_dtype)
     else:
         from speechrecognition_tpu.io import read_mixture_set
         from speechrecognition_tpu.models.gmm import (MixtureModel,
