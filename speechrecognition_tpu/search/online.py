@@ -234,3 +234,189 @@ class OnlineRecognizer:
         return {"chunk_frames": self.chunk,
                 "commit": stats(self.chunk_latencies_s),
                 "partial": stats(self.partial_latencies_s)}
+
+
+class OnlineWctsRecognizer:
+    """Streaming LVCSR recognition over the word-conditioned tree search
+    (the reference's online mode runs exactly this decoder,
+    SpeechRecognizer.cc:30-66 + Teaching WCTS): feed feature chunks,
+    partial()/finish() transcripts, carried tree-copy lattice state.
+    Chunk commits reuse ONE compiled (B, chunk) `_wcts_scan` shape with
+    carry_in/t0, so results are bit-identical to the offline
+    decode_batch_wcts of the same frames."""
+
+    def __init__(self, pack, tables, tdp_model, lm_matrix, lm_start,
+                 am_threshold: float, silence_idx: int,
+                 lookahead=None, transparent_silence: bool = False,
+                 dtype=jnp.float32, num_streams: int = 1,
+                 chunk: int = 64, prune: bool = True):
+        from .wcts import LookaheadTables, build_entry_tables, extend_lm
+
+        self.pack = pack
+        self.tables = tables
+        self.silence_idx = silence_idx
+        self.num_streams = num_streams
+        self.chunk = chunk
+        self.prune = prune
+        self.dtype = dtype
+        self.transparent = transparent_silence
+        self.lm_ext = extend_lm(lm_matrix, lm_start)
+        self.C, self.W = self.lm_ext.shape
+        self.N = tables.num_nodes
+        entry_state, entry_pen = build_entry_tables(tables, tdp_model)
+        self._use_la = lookahead is not None
+        la = (lookahead.scores(self.lm_ext) if self._use_la
+              else np.zeros((self.C, self.N)))
+        self._args = (jnp.asarray(tables.state), jnp.asarray(tables.parent),
+                      jnp.asarray(tables.grand), jnp.asarray(tables.tdp),
+                      jnp.asarray(tables.loop_allowed),
+                      jnp.asarray(entry_state), jnp.asarray(entry_pen),
+                      jnp.asarray(tables.end_node),
+                      jnp.asarray(self.lm_ext), jnp.asarray(la),
+                      jnp.asarray(am_threshold, dtype))
+        self.chunk_latencies_s: List[float] = []
+        self.restart()
+
+    def restart(self) -> None:
+        from .decoder import BIG as _BIG
+
+        B, C, N, W = self.num_streams, self.C, self.N, self.W
+        big = jnp.asarray(_BIG, self.dtype)
+        self._carry = (jnp.full((B, C, N), big, self.dtype),
+                       jnp.zeros((B, C, N), jnp.int32),
+                       jnp.full((B, W), big, self.dtype),
+                       jnp.full((B, C), big, self.dtype),
+                       jnp.zeros((B, C), jnp.int32))
+        self._buffer: List[np.ndarray] = []
+        self._buffered = 0
+        self._t_committed = 0
+        #: host copies of per-frame outs, appended per committed chunk
+        self._outs: List[tuple] = []
+
+    def feed(self, frames: np.ndarray) -> None:
+        from ..contracts import require
+
+        frames = np.asarray(frames, np.float32)
+        if frames.ndim == 2:
+            frames = frames[None]
+        require(frames.shape[0] == self.num_streams,
+                f"feed expects {self.num_streams} streams, "
+                f"got {frames.shape[0]}")
+        self._buffer.append(frames)
+        self._buffered += frames.shape[1]
+        while self._buffered >= self.chunk:
+            self._commit()
+
+    def _scan(self, feats: np.ndarray, feat_len: np.ndarray, carry):
+        from ..models import gmm as gmm_mod
+        from .wcts import _wcts_scan
+
+        B, chunk = self.num_streams, self.chunk
+        am = gmm_mod.am_scores(
+            self.pack, jnp.asarray(feats.reshape(B * chunk, -1))
+        ).reshape(B, chunk, self.pack.num_mixtures).astype(self.dtype)
+        return _wcts_scan(
+            am, jnp.asarray(feat_len, jnp.int32), *self._args,
+            prune=self.prune, use_lookahead=self._use_la,
+            transparent_silence=(self.silence_idx if self.transparent
+                                 else -1),
+            carry_in=carry, t0=jnp.asarray(self._t_committed, jnp.int32))
+
+    def _take(self, n: int) -> np.ndarray:
+        out, need = [], n
+        while need > 0:
+            piece = self._buffer[0]
+            if piece.shape[1] <= need:
+                out.append(piece)
+                need -= piece.shape[1]
+                self._buffer.pop(0)
+            else:
+                out.append(piece[:, :need])
+                self._buffer[0] = piece[:, need:]
+                need = 0
+        self._buffered -= n
+        return out[0] if len(out) == 1 else np.concatenate(out, axis=1)
+
+    def _commit(self) -> None:
+        t0 = time.perf_counter()
+        feats = self._take(self.chunk)
+        lens = np.full(self.num_streams, self._t_committed + self.chunk,
+                       np.int64)
+        self._carry, outs = self._scan(feats, lens, self._carry)
+        self._outs.append(tuple(np.asarray(o) for o in outs))
+        self._t_committed += self.chunk
+        self.chunk_latencies_s.append(time.perf_counter() - t0)
+
+    def _traceback(self, outs_list, feat_len) -> List[List[int]]:
+        books = np.concatenate([o[0] for o in outs_list], axis=0)
+        bkps = np.concatenate([o[1] for o in outs_list], axis=0)
+        preds = np.concatenate([o[2] for o in outs_list], axis=0)
+        if self.transparent:
+            via = np.concatenate([o[-4] for o in outs_list], axis=0)
+            silb = np.concatenate([o[-3] for o in outs_list], axis=0)
+            sil_book = np.concatenate([o[-2] for o in outs_list], axis=0)
+            sil_bkp = np.concatenate([o[-1] for o in outs_list], axis=0)
+        from .decoder import BIG as _BIG
+
+        out: List[List[int]] = []
+        for b in range(self.num_streams):
+            t = int(feat_len[b])
+            if t == 0:
+                out.append([])
+                continue
+
+            def skip_sil(t: int, c: int) -> int:
+                while t > 0 and via[t, b, c]:
+                    t = int(silb[t, b, c])
+                return t
+
+            seq: List[int] = []
+            best_w = float(books[t - 1, b].min())
+            if self.transparent:
+                best_s = float(sil_book[t - 1, b].min())
+                if min(best_w, best_s) >= _BIG * 0.5:
+                    out.append([])
+                    continue
+                if best_s < best_w:
+                    c = int(np.argmin(sil_book[t - 1, b]))
+                    t = skip_sil(int(sil_bkp[t - 1, b, c]), c)
+                    w = c
+                else:
+                    w = int(np.argmin(books[t - 1, b]))
+            else:
+                if best_w >= _BIG * 0.5:
+                    out.append([])
+                    continue
+                w = int(np.argmin(books[t - 1, b]))
+            while t > 0 and w < self.C - 1:
+                if w != self.silence_idx:
+                    seq.append(w)
+                t, c = int(bkps[t - 1, b, w]), int(preds[t - 1, b, w])
+                if self.transparent:
+                    t = skip_sil(t, c)
+                w = c
+            seq.reverse()
+            out.append(seq)
+        return out
+
+    def partial(self, feat_len=None) -> List[List[int]]:
+        total = self._t_committed + self._buffered
+        if total == 0:
+            return [[] for _ in range(self.num_streams)]
+        if feat_len is None:
+            feat_len = np.full(self.num_streams, total, np.int64)
+        else:
+            feat_len = np.minimum(np.asarray(feat_len, np.int64), total)
+        outs_list = list(self._outs)
+        if self._buffered:
+            tail = (self._buffer[0] if len(self._buffer) == 1
+                    else np.concatenate(self._buffer, axis=1))
+            pad = self.chunk - tail.shape[1]
+            if pad:
+                tail = np.pad(tail, ((0, 0), (0, pad), (0, 0)))
+            _carry, outs = self._scan(tail, feat_len, self._carry)
+            outs_list.append(tuple(np.asarray(o) for o in outs))
+        return self._traceback(outs_list, feat_len)
+
+    def finish(self, feat_len=None) -> List[List[int]]:
+        return self.partial(feat_len)

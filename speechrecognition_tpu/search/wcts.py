@@ -160,7 +160,8 @@ def _wcts_scan(am: jnp.ndarray, feat_len: jnp.ndarray,
                am_threshold: jnp.ndarray, prune: bool = True,
                use_lookahead: bool = False, state_limit: int = 0,
                histogram_bins: int = 0, emit_ends: bool = False,
-               emit_stats: bool = False, transparent_silence: int = -1):
+               emit_stats: bool = False, transparent_silence: int = -1,
+               carry_in=None, t0: jnp.ndarray = None):
     """am [B, T, S]; lm_ext [C, W] (last context row = sentence start);
     la [C, N] lookahead scores (ignored unless use_lookahead).
     Returns per-frame (book [T,B,W], bkp [T,B,W], pred [T,B,W],
@@ -195,11 +196,19 @@ def _wcts_scan(am: jnp.ndarray, feat_len: jnp.ndarray,
     la = la.astype(dtype)
     transparent = transparent_silence >= 0
 
-    hyp0 = jnp.full((B, C, N), big, dtype)
-    bkp0 = jnp.zeros((B, C, N), jnp.int32)
-    book0 = jnp.full((B, W), big, dtype)
-    silp0 = jnp.full((B, C), big, dtype)
-    silb0 = jnp.zeros((B, C), jnp.int32)
+    # chunked/streaming decoding: carry_in/t0 continue a previous chunk's
+    # lattice state with one compiled (B, T) shape (search/online.py),
+    # exactly like the word-loop scan's carries (decoder._decode_scan)
+    if carry_in is not None:
+        hyp0, bkp0, book0, silp0, silb0 = carry_in
+    else:
+        hyp0 = jnp.full((B, C, N), big, dtype)
+        bkp0 = jnp.zeros((B, C, N), jnp.int32)
+        book0 = jnp.full((B, W), big, dtype)
+        silp0 = jnp.full((B, C), big, dtype)
+        silb0 = jnp.zeros((B, C), jnp.int32)
+    if t0 is None:
+        t0 = jnp.asarray(0, jnp.int32)
 
     def step(carry, inputs):
         hyp, bkp, book_prev, silp, silb = carry
@@ -317,10 +326,10 @@ def _wcts_scan(am: jnp.ndarray, feat_len: jnp.ndarray,
             outs = outs + (via_sil, silb, silp_out, silb_out)
         return (hyp_out, bkp_out, book_out, silp_out, silb_out), outs
 
-    _, outs = jax.lax.scan(
+    carry_out, outs = jax.lax.scan(
         step, (hyp0, bkp0, book0, silp0, silb0),
-        (jnp.moveaxis(am, 1, 0), jnp.arange(1, T + 1)))
-    return outs
+        (jnp.moveaxis(am, 1, 0), t0 + jnp.arange(1, T + 1)))
+    return carry_out, outs
 
 
 def decode_batch_wcts(pack: gmm_mod.ScorePack, feats: np.ndarray,
@@ -370,7 +379,7 @@ def decode_batch_wcts(pack: gmm_mod.ScorePack, feats: np.ndarray,
         flat = jnp.asarray(feats.reshape(B * T, dim))
         am = gmm_mod.am_scores(pack, flat).reshape(B, T, pack.num_mixtures)
     am = am.astype(dtype)
-    outs = _wcts_scan(
+    _carry, outs = _wcts_scan(
         am, jnp.asarray(feat_len, jnp.int32),
         jnp.asarray(tables.state), jnp.asarray(tables.parent),
         jnp.asarray(tables.grand),

@@ -109,7 +109,7 @@ def test_wcts_sharded_matches_single(pack, lexicon, demo_corpus):
     B, T, dim = feats.shape
     am = gmm_mod.am_scores(pack, jnp.asarray(feats.reshape(B * T, dim)))
     am = am.reshape(B, T, -1).astype(jnp.float32)
-    books1, bkps1, preds1, _off1 = _wcts_scan(
+    _c, (books1, bkps1, preds1, _off1) = _wcts_scan(
         am, jnp.asarray(lens, jnp.int32),
         jnp.asarray(tables.state), jnp.asarray(tables.parent),
         jnp.asarray(tables.grand), jnp.asarray(tables.tdp),

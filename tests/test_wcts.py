@@ -160,7 +160,7 @@ def test_histogram_pruning_ranks_by_prospect():
     lm_ext = jnp.asarray(np.tile(np.array([0.0, 100.0]), (3, 1)))
     la = jnp.asarray(np.tile(np.array([0.0, 0.0, 100.0]), (3, 1)))
 
-    books, _bkps, _preds, _off = _wcts_scan(
+    _c, (books, _bkps, _preds, _off) = _wcts_scan(
         am, feat_len, state, parent, grand, tdp, loop_allowed,
         entry_state, entry_pen, end_node, lm_ext, la,
         jnp.asarray(200.0), prune=True, use_lookahead=True,
@@ -186,3 +186,41 @@ def test_lookahead_pruning_preserves_transcripts(setup, lexicon, demo_corpus,
                                 lookahead=la, dtype=jnp.float64)
     for b in range(35):
         assert with_la[b] == base[b], (b, with_la[b], base[b])
+
+
+@pytest.mark.parametrize("transparent", [False, True])
+def test_streaming_wcts_matches_offline(setup, lexicon, demo_corpus,
+                                        bigram_lm, transparent):
+    """OnlineWctsRecognizer (feed in odd-sized pieces, chunked carried
+    tree-copy state) reproduces the offline decode_batch_wcts
+    transcripts exactly — the reference's online mode runs this same
+    decoder (SpeechRecognizer.cc:30-66)."""
+    from speechrecognition_tpu.search.online import OnlineWctsRecognizer
+
+    pack, tdp, c = setup
+    lm, lm_start = bigram_lm
+    if transparent:
+        lm = lm.copy()
+        lm[:, lexicon.silence_idx] = 0.0
+    tables = TreeTables.build(lexicon, tdp, word_penalty=0.0)
+    la = LookaheadTables.build(tables)
+
+    n = 12
+    feats, lens = demo_corpus.padded_batch(list(range(n)))
+    offline = decode_batch_wcts(
+        pack, feats, np.asarray(lens), tables, tdp, lm, lm_start,
+        c["am_threshold"], lexicon.silence_idx, prune=True, lookahead=la,
+        dtype=jnp.float64, transparent_silence=transparent)
+
+    online = OnlineWctsRecognizer(
+        pack, tables, tdp, lm, lm_start, c["am_threshold"],
+        lexicon.silence_idx, lookahead=la, transparent_silence=transparent,
+        dtype=jnp.float64, num_streams=n, chunk=64)
+    T = feats.shape[1]
+    for start in range(0, T, 45):       # odd feed sizes, partial mid-way
+        online.feed(feats[:, start:start + 45])
+        if start == 45:
+            online.partial(lens)
+    got = online.finish(lens)
+    assert got == offline
+    assert online.latency_stats if hasattr(online, "latency_stats") else True
