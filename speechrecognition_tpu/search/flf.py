@@ -416,7 +416,7 @@ def trim_lattice(lat: WordLattice) -> WordLattice:
             bwd_ok.add(a.start)
     arcs = [a for a in lat.arcs if a.start in fwd_ok and a.end in bwd_ok]
     return WordLattice(num_frames=lat.num_frames, arcs=arcs,
-                       silence=lat.silence)
+                       silence=lat.silence, times=lat.times)
 
 
 def mesh_lattice(lat: WordLattice) -> WordLattice:

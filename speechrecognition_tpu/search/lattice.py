@@ -42,8 +42,15 @@ class WordLattice:
     num_frames: int
     arcs: List[Arc]
     silence: int = 0
+    #: optional node-id → time map for lattices whose nodes are NOT
+    #: frames (e.g. products from Flf composition); None = nodes are
+    #: frames, time(node) == node.
+    times: Optional[Dict[int, int]] = None
     _by_end: Optional[Dict[int, List[Arc]]] = field(default=None, repr=False)
     _by_start: Optional[Dict[int, List[Arc]]] = field(default=None, repr=False)
+
+    def time_of(self, node: int) -> int:
+        return node if self.times is None else self.times[node]
 
     def by_end(self) -> Dict[int, List[Arc]]:
         if self._by_end is None:
