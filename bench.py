@@ -94,7 +94,10 @@ def main():
     raw = read_mixture_set(model_path, 25)
     model = MixtureModel.from_raw(raw, pooling, max_approx=True)
     bench_dtype = os.environ.get("BENCH_DTYPE", "df32")
-    batch_size = int(os.environ.get("BENCH_BATCH", "512"))
+    # 1024 amortizes the per-batch fixed costs (dispatch + traceback
+    # fetch over the tunnel) that dominate once the corpus features are
+    # device-resident (search/decoder.DeviceCorpus)
+    batch_size = int(os.environ.get("BENCH_BATCH", "1024"))
     tdp_vals = meta.get("tdp", [3.0, 0.0, 30.0])
     tdp = TdpModel(silence_state=lex.silence_state, loop=tdp_vals[0],
                    forward=tdp_vals[1], skip=tdp_vals[2])
