@@ -157,6 +157,12 @@ def build_lm_matrices(lex, tm, lm_scale, word_exit=None, sil_exit=None):
 def decode(model, corpus, word_seqs, lex, tm, lm, lm_start, threshold,
            prune, lookahead_on, dtype_name, transparent=True,
            batch=None):
+    """dtype_name: f32 | f64 | q8 | q8-preselect — q8* score acoustics
+    with the int8 quantized batch scorer (models/quantized.py, the
+    reference's SIMD-diagonal-maximum production scorer for this very
+    config, Mm/Module.cc:84 + recognition-triphones-lda.config:40),
+    optionally with density-preselection clustering; the search scan
+    itself runs f32."""
     import jax.numpy as jnp
 
     from speechrecognition_tpu.search.edit_distance import (EDAccumulator,
@@ -164,19 +170,32 @@ def decode(model, corpus, word_seqs, lex, tm, lm, lm_start, threshold,
     from speechrecognition_tpu.search.wcts import (LookaheadTables,
                                                    decode_batch_wcts)
 
+    quant = dtype_name.startswith("q8")
     dtype = jnp.float64 if dtype_name == "f64" else jnp.float32
     tables = tm.tree_tables(lex)
     la = LookaheadTables.build(tables) if lookahead_on else None
-    pack = model.pack(dtype=dtype)
+    pack = model.pack(dtype=jnp.float32 if quant else dtype)
 
     n = corpus.num_segments
     idxs = list(range(n))
     feats, lens = corpus.padded_batch(idxs)
+    qp = None
+    if quant:
+        from speechrecognition_tpu.models.quantized import (
+            am_scores_q_chunked, build_quant_pack)
+        qp = build_quant_pack(model,
+                              preselection=dtype_name == "q8-preselect")
     t0 = time.perf_counter()
+    am = None
+    if quant:
+        B, T, dim = feats.shape
+        flat = jnp.asarray(feats.reshape(B * T, dim))
+        am = am_scores_q_chunked(qp, flat).reshape(B, T, qp.num_mixtures)
     hyps, stats = decode_batch_wcts(
         pack, feats, np.asarray(lens), tables, tm, lm, lm_start,
         threshold, lex.silence_idx, prune=prune, lookahead=la,
-        dtype=dtype, emit_stats=True, transparent_silence=transparent)
+        dtype=dtype, emit_stats=True, transparent_silence=transparent,
+        am=am)
     dt = time.perf_counter() - t0
 
     acc = EDAccumulator()
