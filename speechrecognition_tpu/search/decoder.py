@@ -521,6 +521,9 @@ class DeviceCorpus:
         self.offsets = jnp.asarray(
             np.asarray(corpus.feature_offsets, np.int32))
         self.dim = corpus.dim
+        # the upload is one-time setup (like reading the corpus from
+        # disk); block here so it is not attributed to the first batch
+        self.flat.block_until_ready()
 
     @staticmethod
     @partial(jax.jit, static_argnames=("T",))

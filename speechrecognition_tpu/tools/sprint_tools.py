@@ -286,11 +286,207 @@ def lattice_processor(args: Sequence[str], out=sys.stdout) -> int:
     return 1
 
 
+def allophone_tool(args: Sequence[str], out=sys.stdout) -> int:
+    """allophone-tool <lexicon.xml[.gz]> <cart.tree[.gz]>
+    [dump-allophones | dump-allophone-states | dump-state-tying]
+
+    Counterpart of Tools/AcousticModelTrainer/AllophoneTool.cc: dumps
+    the allophone inventory, the allophone states, or the
+    allophone-state → mixture (CART class) mapping in the reference's
+    `%-32s %9d %9d` dump-state-tying format (AllophoneTool.cc:41-90).
+    Allophones are the within-word triphones realized by the lexicon's
+    pronunciations ('#' at word boundaries, across-word-model = no)."""
+    from ..sprint.am import AllophoneStateModel
+    from ..sprint.bliss import BlissLexicon
+    from ..sprint.cart import DecisionTree
+
+    if len(args) < 2:
+        print("usage: allophone-tool <lexicon> <cart-tree> [mode]",
+              file=sys.stderr)
+        return 1
+    lex = BlissLexicon.read(args[0])
+    tree = DecisionTree.read(args[1])
+    mode = args[2] if len(args) > 2 else "dump-state-tying"
+    asm = AllophoneStateModel(bliss=lex, tree=tree)
+
+    allophones = []
+    seen = set()
+    for lemma in lex.lemmas:
+        for pron in lemma.pronunciations:
+            n = len(pron)
+            for i, ph in enumerate(pron):
+                hist = pron[i - 1] if i > 0 else "#"
+                fut = pron[i + 1] if i < n - 1 else "#"
+                if n == 1:
+                    boundary = "single-phoneme-lemma"
+                elif i == 0:
+                    boundary = "begin-of-lemma"
+                elif i == n - 1:
+                    boundary = "end-of-lemma"
+                else:
+                    boundary = "within-lemma"
+                key = (ph, hist, fut, boundary)
+                if key not in seen:
+                    seen.add(key)
+                    allophones.append(key)
+    allophones.sort()
+
+    def name(ph, hist, fut, boundary):
+        flags = {"single-phoneme-lemma": "@i@f", "begin-of-lemma": "@i",
+                 "end-of-lemma": "@f", "within-lemma": ""}[boundary]
+        return f"{ph}{{{hist}+{fut}}}{flags}"
+
+    if mode == "dump-allophones":
+        for a in allophones:
+            print(name(*a), file=out)
+        return 0
+    if mode == "dump-allophone-states":
+        for a in allophones:
+            for s in range(asm.states_per_phone):
+                print(f"{name(*a)}.{s}", file=out)
+        return 0
+    if mode == "dump-state-tying":
+        print("<allophone-state-mapping>", file=out)
+        idx = 0
+        for a in allophones:
+            ph, hist, fut, boundary = a
+            for s in range(asm.states_per_phone):
+                cls = tree.classify({
+                    "central": ph, "history[0]": hist, "future[0]": fut,
+                    "hmm-state": str(s), "boundary": boundary})
+                print(f"{name(*a) + '.' + str(s):<32s} {idx:9d} {cls:9d}",
+                      file=out)
+                idx += 1
+        print("</allophone-state-mapping>", file=out)
+        return 0
+    print(f"allophone-tool: unknown mode {mode}", file=sys.stderr)
+    return 1
+
+
+def cart_viewer(args: Sequence[str], out=sys.stdout) -> int:
+    """cart-viewer <cart.tree[.gz]> [text|dot]
+
+    Counterpart of Tools/Cart/CartViewer.cc: renders the decision tree
+    — indented text (question key/values per inner node, class id per
+    leaf) or graphviz dot."""
+    from ..sprint.cart import DecisionTree
+
+    if not args:
+        print("usage: cart-viewer <cart-tree> [text|dot]", file=sys.stderr)
+        return 1
+    tree = DecisionTree.read(args[0])
+    mode = args[1] if len(args) > 1 else "text"
+
+    if mode == "text":
+        def emit(node, depth):
+            pad = "  " * depth
+            if node.is_leaf:
+                print(f"{pad}class {node.id}", file=out)
+                return
+            q = tree.questions[node.id]
+            vals = " ".join(sorted(q.values))
+            print(f"{pad}{q.key} in {{{vals}}} ?", file=out)
+            emit(node.left, depth + 1)
+            emit(node.right, depth + 1)
+
+        emit(tree.root, 0)
+        return 0
+    if mode == "dot":
+        print('digraph "cart" {\nnode [fontname="Helvetica"]', file=out)
+
+        def emit(node):
+            if node.is_leaf:
+                print(f'n{id(node)} [shape=box label="class {node.id}"]',
+                      file=out)
+                return
+            q = tree.questions[node.id]
+            vals = " ".join(sorted(q.values))
+            print(f'n{id(node)} [label="{q.key}\\n{vals}"]', file=out)
+            print(f'n{id(node)} -> n{id(node.left)} [label="yes"]',
+                  file=out)
+            print(f'n{id(node)} -> n{id(node.right)} [label="no"]',
+                  file=out)
+            emit(node.left)
+            emit(node.right)
+
+        emit(tree.root)
+        print("}", file=out)
+        return 0
+    print(f"cart-viewer: unknown mode {mode}", file=sys.stderr)
+    return 1
+
+
+def cart_converter(args: Sequence[str], out=sys.stdout) -> int:
+    """cart-converter <old-legacy-tree> <new-cart.xml>
+    [--boundary-style STYLE]
+
+    Counterpart of Tools/Cart/CartConverter.py: legacy text tree →
+    Sprint CART XML with identical classification (see
+    sprint/cart_convert.py for the property mapping)."""
+    from ..sprint.cart_convert import convert_legacy_tree
+    from ..sprint.cart_train import write_tree_xml
+    from ..sprint.legacy_tree import LegacyDecisionTree
+
+    if len(args) < 2:
+        print("usage: cart-converter <old-tree> <new-xml> "
+              "[--boundary-style STYLE]", file=sys.stderr)
+        return 1
+    style = "no-pos-dep"
+    if "--boundary-style" in args:
+        style = args[list(args).index("--boundary-style") + 1]
+    legacy = LegacyDecisionTree.read(args[0], boundary_style=style)
+    tree = convert_legacy_tree(legacy)
+    write_tree_xml(tree, args[1])
+    print(f"converted {args[0]} → {args[1]} "
+          f"({legacy.num_classes} classes, {len(tree.questions)} "
+          f"node questions)", file=out)
+    return 0
+
+
+def flowdraw(args: Sequence[str], out=sys.stdout) -> int:
+    """flowdraw <network.flow>
+
+    Counterpart of Tools/Flow/flowdraw.py: Flow network XML → graphviz
+    dot (nodes + links + network in/out ports)."""
+    import xml.etree.ElementTree as ET
+
+    if not args:
+        print("usage: flowdraw <network.flow>", file=sys.stderr)
+        return 1
+    root = ET.parse(args[0]).getroot()
+    netname = root.get("name") or "network"
+
+    def clean(s):
+        return s.replace("-", "_").replace(":", "_").replace("$", "")
+
+    print("digraph flow {", file=out)
+    for io_el in list(root.findall("in")) + list(root.findall("out")):
+        n = io_el.get("name")
+        print(f'{clean(n)} [shape=plaintext label="{netname}:{n}"];',
+              file=out)
+    for node in root.findall("node"):
+        name = node.get("name")
+        filt = node.get("filter", "")
+        print(f'{clean(name)} [shape=record label="{name}\\n{filt}"];',
+              file=out)
+    for link in root.findall("link"):
+        frm = (link.get("from") or "").split(":")[0]
+        to = (link.get("to") or "").split(":")[0]
+        if frm and to:
+            print(f"{clean(frm)} -> {clean(to)};", file=out)
+    print("}", file=out)
+    return 0
+
+
 TOOLS = {
     "archiver": archiver,
     "corpus-statistics": corpus_statistics,
     "feature-statistics": feature_statistics,
     "lattice-processor": lattice_processor,
+    "allophone-tool": allophone_tool,
+    "cart-viewer": cart_viewer,
+    "cart-converter": cart_converter,
+    "flowdraw": flowdraw,
 }
 
 

@@ -50,6 +50,13 @@ def main():
     ap.add_argument("--batch", type=int, default=256)
     ap.add_argument("--posterior-threshold", type=float, default=5.0)
     ap.add_argument("--skip-test-decode", action="store_true")
+    ap.add_argument("--holdout", type=int, default=0,
+                    help="hold out the LAST N train segments from MPE "
+                         "training and decode them each iteration: "
+                         "iteration selection from held-out-train WER "
+                         "instead of the test corpus (the round-4 "
+                         "robustness gap: selection on test re-rolls "
+                         "the dice on every recipe change)")
     ap.add_argument("--init-model", default=None,
                     help="resume from a saved mpe-<k>.mix instead of the "
                          "ML model (alignment stays the ML alignment, as "
@@ -93,6 +100,14 @@ def main():
                          normalization_path=norm_path)
     if args.max_segments:
         corpus = subset_corpus(corpus, list(range(args.max_segments)))
+    holdout_corpus = None
+    if args.holdout:
+        n = corpus.num_segments
+        holdout_corpus = subset_corpus(
+            corpus, list(range(n - args.holdout, n)))
+        corpus = subset_corpus(corpus, list(range(n - args.holdout)))
+        log(f"holding out the last {args.holdout} train segments for "
+            f"iteration selection")
     log(f"train corpus: {corpus.num_segments} segments, "
         f"{corpus.total_frames} frames")
 
@@ -108,17 +123,28 @@ def main():
     log(f"ML model: {model.num_densities()} densities, tdp {tdp_vals}")
 
     # numerator forced alignment with the ML model (the reference's
-    # numerator side comes from exactly this alignment)
+    # numerator side comes from exactly this alignment). Cached on disk
+    # keyed by corpus size so per-iteration resume runs skip the ~150 s
+    # realignment (the ML alignment never changes across MPE iters).
     t0 = time.perf_counter()
-    automata = [build_segment_automaton(lex, orth) for orth in corpus.orths]
-    tables_all = AlignerTables.build(automata, tdp)
-    alignment = np.zeros(corpus.total_frames, np.int32)
-    aligner = Trainer(TrainerConfig(pruning_threshold=200.0,
-                                    batch_size=args.batch),
-                      lex, model, tdp, dtype="df32", log=log)
-    aligner._realign(corpus, tables_all, alignment)
-    log(f"forced alignment: {time.perf_counter() - t0:.1f}s "
-        f"(silence {100.0 * (alignment == lex.silence_state).mean():.1f}%)")
+    align_cache = os.path.join(args.out,
+                               f"ml_alignment_{corpus.total_frames}.npy")
+    if os.path.exists(align_cache):
+        alignment = np.load(align_cache)
+        log(f"forced alignment: loaded from {align_cache}")
+    else:
+        automata = [build_segment_automaton(lex, orth)
+                    for orth in corpus.orths]
+        tables_all = AlignerTables.build(automata, tdp)
+        alignment = np.zeros(corpus.total_frames, np.int32)
+        aligner = Trainer(TrainerConfig(pruning_threshold=200.0,
+                                        batch_size=args.batch),
+                          lex, model, tdp, dtype="df32", log=log)
+        aligner._realign(corpus, tables_all, alignment)
+        np.save(align_cache, alignment)
+        log(f"forced alignment: {time.perf_counter() - t0:.1f}s "
+            f"(silence "
+            f"{100.0 * (alignment == lex.silence_state).mean():.1f}%)")
 
     if args.init_model:
         model = MixtureModel.from_raw(
@@ -136,26 +162,37 @@ def main():
     trainer = MpeTrainer(cfg, lex, model, tdp, dtype=jnp.float32)
 
     test_corpus_cache = []
+    #: one Recognizer per corpus, reused across iterations (keeps the
+    #: DeviceCorpus upload one-time); only the pack is swapped
+    rec_cache = {}
 
-    def test_wer(tag):
-        if args.skip_test_decode:
-            return None
-        if not test_corpus_cache:   # load the 13k-utterance corpus once
-            test_desc = CorpusDescription.read(
-                os.path.join(REFERENCE,
-                             "src/sietill/corpora/corpus_test.json"), lex)
-            test_corpus_cache.append(Corpus.read(
-                test_desc, feature_path, SignalAnalysisConfig(),
-                normalization_path=norm_path))
-        test_corpus = test_corpus_cache[0]
-        config = Configuration({
-            "am-threshold": meta.get("am_threshold", 200.0),
-            "word-penalty": meta.get("word_penalty", 80.0),
-            "pruned-search": True, "max-recognition-runs": 10 ** 9})
-        rec = Recognizer(config, lex, tdp, model.pack_df(), dtype="df32")
+    def _decode(which, tag):
+        if which == "test":
+            if not test_corpus_cache:   # load the 13k-utt corpus once
+                test_desc = CorpusDescription.read(
+                    os.path.join(REFERENCE,
+                                 "src/sietill/corpora/corpus_test.json"),
+                    lex)
+                test_corpus_cache.append(Corpus.read(
+                    test_desc, feature_path, SignalAnalysisConfig(),
+                    normalization_path=norm_path))
+            c = test_corpus_cache[0]
+        else:
+            c = holdout_corpus
+        rec = rec_cache.get(which)
+        if rec is None:
+            config = Configuration({
+                "am-threshold": meta.get("am_threshold", 200.0),
+                "word-penalty": meta.get("word_penalty", 80.0),
+                "pruned-search": True, "max-recognition-runs": 10 ** 9})
+            rec = Recognizer(config, lex, tdp, model.pack_df(),
+                             dtype="df32")
+            rec_cache[which] = rec
+        else:
+            rec.pack = model.pack_df()
         t = time.perf_counter()
-        res = rec.recognize_corpus(test_corpus, batch_size=512)
-        log(f"test decode [{tag}]: WER {res['wer']:.4f}% "
+        res = rec.recognize_corpus(c, batch_size=512)
+        log(f"{which} decode [{tag}]: WER {res['wer']:.4f}% "
             f"SER {res['ser']:.4f}% S/I/D {res['substitutions']}/"
             f"{res['insertions']}/{res['deletions']} "
             f"({time.perf_counter() - t:.1f}s)")
@@ -163,13 +200,23 @@ def main():
                 "sid": [res["substitutions"], res["insertions"],
                         res["deletions"]]}
 
+    def test_wer(tag):
+        if args.skip_test_decode:
+            return None
+        return _decode("test", tag)
+
+    def holdout_wer(tag):
+        if holdout_corpus is None:
+            return None
+        return _decode("holdout", tag)
+
     results_path = os.path.join(args.out, "results.json")
     if args.start_iter > 0 and os.path.exists(results_path):
         with open(results_path) as f:
             results = json.load(f)
     else:
         results = {"segments": corpus.num_segments,
-                   "config": {"E": args.e, "tau": args.tau,
+                   "config": {"E": args.e, "tau": args.tau, "holdout": args.holdout,
                               "posterior_threshold":
                                   args.posterior_threshold},
                    "baseline_test": {"wer": 4.501682},
@@ -205,6 +252,7 @@ def main():
             f"{row['per_utt_acc_before']:.4f} -> {after} "
             f"per utt, masses num {diag['num_mass']:.0f} den "
             f"{diag['den_mass']:.0f}")
+        row["holdout"] = holdout_wer(f"iter{it + 1}")
         row["test"] = test_wer(f"iter{it + 1}")
         results["iterations"].append(row)
         write_mixture_set(os.path.join(args.out, f"mpe-{it + 1}.mix"),
