@@ -161,10 +161,13 @@ def _decode_scan(am: jnp.ndarray, feat_len: jnp.ndarray,
             wbkp = jnp.where(take, b, wbkp)
         within = within + ams
 
-        # word entry into positions {0, 1}; acoustic score of the first state
-        am_first = am_t[:, first_state]                  # [B, W]
+        # word entry into positions {0, 1}; acoustic score of the ENTERED
+        # position's state (identical to the reference's first-state charge
+        # for the SieTill lexicon, where repetitions make positions 0/1
+        # share a state; correct for repetition-1 lexica too)
+        am_entry2 = am_t[:, state_table[:, :2]]          # [B, W, 2]
         entry = (book_prev[:, None, None] + entp[None, :, :]
-                 + am_first[:, :, None])                 # [B, W, 2]
+                 + am_entry2)                            # [B, W, 2]
         entry = jnp.concatenate(
             [entry, jnp.full((B, W, P - 2), big, dtype)], axis=2)
 

@@ -96,9 +96,14 @@ def _decode_scan_bigram(am: jnp.ndarray, feat_len: jnp.ndarray,
         entry_base = jnp.where(take_start, start, rec)
         entry_pred = jnp.where(take_start, jnp.int32(-1), rec_pred)
 
-        am_first = am_t[:, first_state]
+        # acoustic score of the ENTERED position's own state (for the
+        # SieTill lexicon positions 0/1 share a state, so this equals
+        # the reference's first-state charge bit-for-bit; for
+        # repetition-1 lexica the skip entry lands in a different state
+        # and must pay that state's emission — Sprint semantics)
+        am_entry = am_t[:, state_table[:, :2]]               # [B, W, 2]
         entry = (entry_base[:, :, None] + entp[None, :, :]
-                 + am_first[:, :, None])                     # [B, W, 2]
+                 + am_entry)                                 # [B, W, 2]
         entry = jnp.concatenate(
             [entry, jnp.full((B, W, P - 2), big, dtype)], axis=2)
         entry_pred3 = jnp.concatenate(

@@ -170,11 +170,13 @@ def decode(model, corpus, word_seqs, lex, tm, lm, lm_start, threshold,
     from speechrecognition_tpu.search.wcts import (LookaheadTables,
                                                    decode_batch_wcts)
 
-    quant = dtype_name.startswith("q8")
+    quant = "q8" in dtype_name
+    linear = dtype_name.startswith("linear")
     dtype = jnp.float64 if dtype_name == "f64" else jnp.float32
     tables = tm.tree_tables(lex)
     la = LookaheadTables.build(tables) if lookahead_on else None
     pack = model.pack(dtype=jnp.float32 if quant else dtype)
+    lin_tables = tm.decoder_tables(lex) if linear else None
 
     n = corpus.num_segments
     idxs = list(range(n))
@@ -184,18 +186,29 @@ def decode(model, corpus, word_seqs, lex, tm, lm, lm_start, threshold,
         from speechrecognition_tpu.models.quantized import (
             am_scores_q_chunked, build_quant_pack)
         qp = build_quant_pack(model,
-                              preselection=dtype_name == "q8-preselect")
+                              preselection="preselect" in dtype_name)
     t0 = time.perf_counter()
     am = None
     if quant:
         B, T, dim = feats.shape
         flat = jnp.asarray(feats.reshape(B * T, dim))
         am = am_scores_q_chunked(qp, flat).reshape(B, T, qp.num_mixtures)
-    hyps, stats = decode_batch_wcts(
-        pack, feats, np.asarray(lens), tables, tm, lm, lm_start,
-        threshold, lex.silence_idx, prune=prune, lookahead=la,
-        dtype=dtype, emit_stats=True, transparent_silence=transparent,
-        am=am)
+    if linear:
+        # gather-free linear-lexicon engine (search/linear_lvcsr.py):
+        # exact 1-best; no per-frame tree statistics
+        from speechrecognition_tpu.search.linear_lvcsr import \
+            decode_batch_linear_lvcsr
+        hyps = decode_batch_linear_lvcsr(
+            pack, feats, np.asarray(lens), lin_tables, lm, lm_start,
+            threshold, lex.silence_idx, prune=prune, am=am)
+        stats = {k: np.zeros((feats.shape[1], n), np.int64)
+                 for k in ("active_states", "active_trees", "word_ends")}
+    else:
+        hyps, stats = decode_batch_wcts(
+            pack, feats, np.asarray(lens), tables, tm, lm, lm_start,
+            threshold, lex.silence_idx, prune=prune, lookahead=la,
+            dtype=dtype, emit_stats=True, transparent_silence=transparent,
+            am=am)
     dt = time.perf_counter() - t0
 
     acc = EDAccumulator()
