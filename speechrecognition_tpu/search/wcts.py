@@ -67,9 +67,15 @@ def extend_lm(lm: np.ndarray, lm_start: np.ndarray) -> np.ndarray:
 
 def build_entry_tables(tables: TreeTables, tdp_model):
     """Word-entry tables: entries reach depth-1 nodes (jump 1) and depth-2
-    nodes (jump 2).  Both charge the *first* state's emission and
-    tdp(first_state, jump) — Recognizer.cpp:135-151 semantics (the
-    expansion scores `am_cache[first_state]` for init_state 0 and 1).
+    nodes (jump 2), each charging the ENTERED node's own emission.
+
+    (For the SieTill lexicon this equals the reference's first-state
+    charge bit-for-bit — repetitions make depth-1/2 nodes share a state,
+    Recognizer.cpp:135-151 scores `am_cache[first_state]` for both init
+    states. For repetition-1 lexica the skip entry lands in a different
+    state and must pay that state's emission: charging the parent's here
+    made the round-4 WCTS miss the true optimum on 2/130 AN4 utterances,
+    caught by the linear_lvcsr/restricted-path A/B.)
 
     ``tdp_model`` may also be a Sprint TransitionModel (sprint/am.py):
     entries then charge the entry-m1 forward/skip TDPs regardless of the
@@ -77,8 +83,6 @@ def build_entry_tables(tables: TreeTables, tdp_model):
     Am/TransitionModel.hh:64-76), scaled by the model's tdp scale."""
     N = tables.num_nodes
     entry_state = tables.state.copy()
-    d2 = tables.depth == 2
-    entry_state[d2] = tables.state[tables.parent[d2]]
     entry_pen = np.full(N, float(BIG))
     if hasattr(tdp_model, "entry_m1"):  # Sprint TransitionModel
         scale = getattr(tdp_model, "scale", 1.0)
