@@ -289,39 +289,60 @@ def decode_batch_linear_lvcsr(pack, feats: np.ndarray,
         jnp.asarray(sil_entry), jnp.asarray(sil_exit, jnp.float32),
         jnp.asarray(lm_ext), jnp.asarray(am_threshold, dtype),
         prune=prune)
-    (books, bkps, preds, vias, origins, silends, silorgs,
-     _offsets) = (np.asarray(o) for o in outs)
-
+    # traceback ON DEVICE: the per-frame [T, B, W]/[T, B, V] outputs are
+    # ~hundreds of MB — fetching them dominates decode wall-clock on the
+    # tunnel transport (measured 17 s of an 18 s AN4 decode); the walk
+    # itself is max_words tiny gathers, so only the [max_words, B] word
+    # ids ever cross the wire.
+    words_dev = _traceback_device(
+        outs, jnp.asarray(feat_len, jnp.int32), len(real))
+    words_np = np.asarray(words_dev)                # [max_words, B]
     W = len(real)
     results: List[List[int]] = []
     for b in range(B):
-        Tb = int(feat_len[b])
-        if Tb == 0:
-            results.append([])
-            continue
-        fb = books[Tb - 1, b]                       # [W]
-        fsil = silends[Tb - 1, b]                   # [V]
-        w_best = int(np.argmin(fb))
-        words: List[int] = []
-        if fsil.min() < fb[w_best]:                 # utterance ends in sil
-            v = int(np.argmin(fsil))
-            if v >= W:                              # all-silence utterance
-                results.append([])
-                continue
-            cur, t = v, int(silorgs[Tb - 1, b, v])
-        else:
-            cur, t = w_best, Tb
-        # `cur` = real word ending exactly at frame t
-        while cur < W and t > 0:
-            words.append(int(real[cur]))
-            boundary = int(bkps[t - 1, b, cur])
-            v = int(preds[t - 1, b, cur])
-            if v >= W:
-                break
-            # entry at frame `boundary`+1 consumed origins of that frame:
-            # origins[boundary] row v = frame v's real word ended
-            t = int(origins[boundary, b, v]) if boundary < Tb else boundary
-            cur = v
-        words.reverse()
-        results.append(words)
+        seq = [int(real[w]) for w in words_np[:, b] if w >= 0]
+        seq.reverse()
+        results.append(seq)
     return results
+
+
+MAX_TRACE_WORDS = 128
+
+
+@partial(jax.jit, static_argnames=("W",))
+def _traceback_device(outs, feat_len: jnp.ndarray, W: int) -> jnp.ndarray:
+    """Backward word walk over the scan outputs, vectorized over the
+    batch; returns [MAX_TRACE_WORDS, B] real-word indices in reverse
+    order (−1 padding)."""
+    books, bkps, preds, _vias, origins, silends, silorgs, _off = outs
+    T, B = books.shape[0], books.shape[1]
+    bi = jnp.arange(B)
+    tb = jnp.maximum(feat_len, 1)
+    fb = books[tb - 1, bi]                          # [B, W]
+    fsil = silends[tb - 1, bi]                      # [B, V]
+    w_best = jnp.argmin(fb, axis=1).astype(jnp.int32)
+    sil_v = jnp.argmin(fsil, axis=1).astype(jnp.int32)
+    use_sil = fsil.min(axis=1) < fb[bi, w_best]
+    cur = jnp.where(use_sil, sil_v, w_best)
+    t = jnp.where(use_sil, silorgs[tb - 1, bi, sil_v], tb)
+    done = (cur >= W) | (t <= 0) | (feat_len == 0)
+
+    def step(carry, _):
+        cur, t, done = carry
+        word = jnp.where(done, -1, cur)
+        tc = jnp.clip(t - 1, 0, T - 1)
+        cc = jnp.clip(cur, 0, W - 1)
+        boundary = bkps[tc, bi, cc]
+        v = preds[tc, bi, cc]
+        bc = jnp.clip(boundary, 0, T - 1)
+        vc = jnp.clip(v, 0, W)                       # origins has V=W+1
+        t_next = origins[bc, bi, vc]
+        new_done = done | (v >= W) | (t_next <= 0)
+        nxt = (jnp.where(done, cur, v).astype(jnp.int32),
+               jnp.where(done, t, t_next).astype(jnp.int32), new_done)
+        return nxt, word.astype(jnp.int32)
+
+    _c, words = jax.lax.scan(step, (cur.astype(jnp.int32),
+                                    t.astype(jnp.int32), done),
+                             None, length=MAX_TRACE_WORDS)
+    return words
